@@ -1,0 +1,109 @@
+"""Batched AMG primitives: box extraction, stability scores, NMS.
+
+TPU-native replacements for the per-mask Python utilities inside the
+external SAM2 AutomaticMaskGenerator (reference call site
+saber/adapters/sam2/automask.py:66-78). Everything is static-shape and
+jittable: masks carry validity flags instead of being filtered out.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def batched_mask_to_box(masks: jnp.ndarray) -> jnp.ndarray:
+    """(… ,H,W) bool masks → (… ,4) XYXY boxes; zeros for empty masks."""
+    h, w = masks.shape[-2:]
+    rows = jnp.any(masks, axis=-1)  # (..., H)
+    cols = jnp.any(masks, axis=-2)  # (..., W)
+    ridx = jnp.arange(h)
+    cidx = jnp.arange(w)
+    big = jnp.int32(10**6)
+    y0 = jnp.min(jnp.where(rows, ridx, big), axis=-1)
+    y1 = jnp.max(jnp.where(rows, ridx, -1), axis=-1)
+    x0 = jnp.min(jnp.where(cols, cidx, big), axis=-1)
+    x1 = jnp.max(jnp.where(cols, cidx, -1), axis=-1)
+    empty = ~jnp.any(rows, axis=-1)
+    box = jnp.stack([x0, y0, x1, y1], axis=-1)
+    return jnp.where(empty[..., None], 0, box).astype(jnp.float32)
+
+
+def calculate_stability_score(mask_logits: jnp.ndarray, mask_threshold: float,
+                              threshold_offset: float) -> jnp.ndarray:
+    """IoU between high/low-threshold binarizations of the logits.
+
+    Matches SAM's stability score: intersections at threshold+offset vs
+    threshold-offset, reduced over the last two axes.
+    """
+    hi = jnp.sum(mask_logits > (mask_threshold + threshold_offset), axis=(-2, -1),
+                 dtype=jnp.float32)
+    lo = jnp.sum(mask_logits > (mask_threshold - threshold_offset), axis=(-2, -1),
+                 dtype=jnp.float32)
+    return jnp.where(lo > 0, hi / lo, 1.0)
+
+
+def box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """(N,4) × (M,4) XYXY → (N,M) IoU."""
+    area1 = jnp.clip(boxes1[:, 2] - boxes1[:, 0], 0) * jnp.clip(boxes1[:, 3] - boxes1[:, 1], 0)
+    area2 = jnp.clip(boxes2[:, 2] - boxes2[:, 0], 0) * jnp.clip(boxes2[:, 3] - boxes2[:, 1], 0)
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1[:, None] + area2[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+@partial(jax.jit, static_argnames=())
+def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+                iou_threshold: float) -> jnp.ndarray:
+    """On-device greedy NMS with static shapes.
+
+    Iterates over candidates in score order via ``lax.scan`` (N steps, each
+    O(N) vector work — fine for AMG's ≤ a few thousand candidates).
+
+    Args:
+        boxes: (N,4) XYXY. scores: (N,). valid: (N,) bool.
+    Returns:
+        (N,) bool keep mask.
+    """
+    n = boxes.shape[0]
+    iou = box_iou(boxes, boxes)
+    neg_inf = jnp.float32(-jnp.inf)
+    masked_scores = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-masked_scores)  # descending
+
+    def step(state, idx):
+        keep, suppressed = state
+        i = order[idx]
+        is_ok = jnp.logical_and(valid[i], jnp.logical_not(suppressed[i]))
+        keep = keep.at[i].set(is_ok)
+        # Suppress everything overlapping i (only if i was kept).
+        over = iou[i] > iou_threshold
+        suppressed = jnp.where(jnp.logical_and(is_ok, over), True, suppressed)
+        return (keep, suppressed), None
+
+    keep0 = jnp.zeros((n,), bool)
+    sup0 = jnp.zeros((n,), bool)
+    (keep, _), _ = jax.lax.scan(step, (keep0, sup0), jnp.arange(n))
+    return keep
+
+
+def uncrop_boxes_xyxy(boxes: jnp.ndarray, crop_box) -> jnp.ndarray:
+    x0, y0 = crop_box[0], crop_box[1]
+    return boxes + jnp.asarray([x0, y0, x0, y0], boxes.dtype)
+
+
+def uncrop_points(points: jnp.ndarray, crop_box) -> jnp.ndarray:
+    x0, y0 = crop_box[0], crop_box[1]
+    return points + jnp.asarray([x0, y0], points.dtype)
+
+
+def build_point_grid(n_per_side: int) -> jnp.ndarray:
+    """Normalized (n², 2) xy grid in [0,1]², SAM-style cell centers."""
+    offset = 1.0 / (2 * n_per_side)
+    pts = jnp.linspace(offset, 1.0 - offset, n_per_side)
+    x = jnp.tile(pts[None, :], (n_per_side, 1))
+    y = jnp.tile(pts[:, None], (1, n_per_side))
+    return jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
