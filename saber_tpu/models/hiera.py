@@ -1,0 +1,213 @@
+"""Hiera hierarchical vision encoder (SAM2 trunk), Flax/NHWC.
+
+Native reimplementation of the Hiera backbone consumed by the reference
+through the external ``sam2`` package (reference call sites:
+saber/adapters/sam2/automask.py:56-62, adapters/sam2/predictor.py:24-26).
+Architecture follows "Hiera: A Hierarchical Vision Transformer without the
+Bells-and-Whistles" as configured in SAM2.1:
+
+- patch embed: 7×7 stride-4 conv → (H/4, W/4, C)
+- 4 stages; channel dim and head count double at each transition;
+  q-pooling (2×2 maxpool on queries) at the first block of stages 2-4
+- window attention with per-stage window sizes; a few designated blocks
+  use global attention
+- absolute position embedding = interpolated background embedding +
+  tiled window embedding
+
+TPU-first choices: NHWC layout throughout, window partitioning by
+reshape/transpose (no gather), bf16 matmuls with fp32 layer norms, and a
+batched attention layout (windows fold into the batch axis so the MXU sees
+large GEMMs). Multi-scale stage outputs feed the FPN neck (fpn.py).
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from saber_tpu.models.attention import scaled_dot_product_attention
+
+
+def window_partition(x: jnp.ndarray, window: int):
+    """(B, H, W, C) → (B·nW, window, window, C) with zero padding."""
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
+    return x, (hp, wp)
+
+
+def window_unpartition(x: jnp.ndarray, window: int, pad_hw, hw):
+    """Inverse of window_partition, cropping padding."""
+    hp, wp = pad_hw
+    h, w = hw
+    b = x.shape[0] // ((hp // window) * (wp // window))
+    x = x.reshape(b, hp // window, wp // window, window, window, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+class PatchEmbed(nn.Module):
+    """7×7 stride-4 overlapping patch embedding."""
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 3)
+        return nn.Conv(self.embed_dim, (7, 7), strides=(4, 4), padding=(3, 3),
+                       dtype=self.dtype, name="proj")(x)
+
+
+class MultiScaleAttention(nn.Module):
+    """Windowed/global attention with optional 2×2 query pooling."""
+    dim_out: int
+    num_heads: int
+    q_stride: Optional[Tuple[int, int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        b, h, w, _ = x.shape
+        head_dim = self.dim_out // self.num_heads
+        qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        if self.q_stride is not None:
+            sh, sw = self.q_stride
+            q = q.reshape(b, h, w, self.dim_out)
+            q = nn.max_pool(q, window_shape=(sh, sw), strides=(sh, sw))
+            hq, wq = q.shape[1], q.shape[2]
+            q = q.reshape(b, hq * wq, self.num_heads, head_dim)
+        out = scaled_dot_product_attention(q, k, v)
+        out = out.reshape(b, -1, self.dim_out)
+        if self.q_stride is not None:
+            out = out.reshape(b, hq, wq, self.dim_out)
+        else:
+            out = out.reshape(b, h, w, self.dim_out)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
+
+
+class MultiScaleBlock(nn.Module):
+    """Hiera block: (windowed) attention + MLP with stage-transition pooling."""
+    dim: int
+    dim_out: int
+    num_heads: int
+    window_size: int
+    q_stride: Optional[Tuple[int, int]] = None
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+
+        if self.dim != self.dim_out:
+            # project + pool the shortcut at stage transitions
+            shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
+            if self.q_stride is not None:
+                shortcut = nn.max_pool(shortcut, self.q_stride, strides=self.q_stride)
+
+        window = self.window_size
+        hw = (x.shape[1], x.shape[2])
+        pad_hw = hw
+        if window > 0:
+            x, pad_hw = window_partition(x, window)
+
+        x = MultiScaleAttention(
+            dim_out=self.dim_out, num_heads=self.num_heads,
+            q_stride=self.q_stride, dtype=self.dtype, name="attn")(x)
+
+        if self.q_stride is not None:
+            # query pooling shrank each window; unpartition at pooled geometry
+            window = window // self.q_stride[0]
+            hw = (shortcut.shape[1], shortcut.shape[2])
+            pad_hw = (pad_hw[0] // self.q_stride[0], pad_hw[1] // self.q_stride[1])
+        if self.window_size > 0:
+            x = window_unpartition(x, window, pad_hw, hw)
+
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        hidden = int(self.dim_out * self.mlp_ratio)
+        y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
+class Hiera(nn.Module):
+    """Multi-stage trunk returning per-stage NHWC feature maps (/4 … /32)."""
+    embed_dim: int = 96
+    num_heads: int = 1
+    stages: Sequence[int] = (1, 2, 7, 2)
+    global_att_blocks: Sequence[int] = (5, 7, 9)
+    window_pos_embed_bkg_spatial_size: Tuple[int, int] = (7, 7)
+    window_spec: Sequence[int] = (8, 4, 14, 7)
+    q_pool: int = 3
+    q_stride: Tuple[int, int] = (2, 2)
+    dim_mul: float = 2.0
+    head_mul: float = 2.0
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def stage_ends(self):
+        return [sum(self.stages[:i]) - 1 for i in range(1, len(self.stages) + 1)]
+
+    @property
+    def channel_list(self):
+        """Per-stage output channels, low→high stage (i.e. /4 … /32)."""
+        return [int(self.embed_dim * self.dim_mul**i) for i in range(len(self.stages))]
+
+    def _pos_embed(self, bkg, win, h, w):
+        """Interpolate background embedding to (h, w), tile window embedding."""
+        pos = jax.image.resize(bkg, (1, h, w, bkg.shape[-1]), method="bicubic")
+        wh, ww = win.shape[1], win.shape[2]
+        reps_h = -(-h // wh)
+        reps_w = -(-w // ww)
+        tiled = jnp.tile(win, (1, reps_h, reps_w, 1))[:, :h, :w]
+        return pos + tiled
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 3)
+        x = PatchEmbed(self.embed_dim, dtype=self.dtype, name="patch_embed")(x)
+        h, w = x.shape[1], x.shape[2]
+
+        bkg = self.param(
+            "pos_embed", nn.initializers.zeros,
+            (1, *self.window_pos_embed_bkg_spatial_size, self.embed_dim))
+        win = self.param(
+            "pos_embed_window", nn.initializers.zeros,
+            (1, self.window_spec[0], self.window_spec[0], self.embed_dim))
+        x = x + self._pos_embed(bkg, win, h, w).astype(x.dtype)
+
+        depth = sum(self.stages)
+        stage_ends = self.stage_ends
+        q_pool_blocks = [e + 1 for e in stage_ends[: self.q_pool]]
+
+        outputs = []
+        embed_dim, num_heads = self.embed_dim, self.num_heads
+        cur_stage = 1
+        for i in range(depth):
+            dim_out = embed_dim
+            window_size = self.window_spec[cur_stage - 1]
+            if i in self.global_att_blocks:
+                window_size = 0
+            if i - 1 in stage_ends:
+                dim_out = int(embed_dim * self.dim_mul)
+                num_heads = int(num_heads * self.head_mul)
+                cur_stage += 1
+            x = MultiScaleBlock(
+                dim=embed_dim, dim_out=dim_out, num_heads=num_heads,
+                window_size=window_size,
+                q_stride=self.q_stride if i in q_pool_blocks else None,
+                dtype=self.dtype, name=f"blocks_{i}")(x)
+            embed_dim = dim_out
+            if i in stage_ends:
+                outputs.append(x)
+        return outputs  # list of (B, H_s, W_s, C_s), /4 → /32

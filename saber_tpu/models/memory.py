@@ -1,0 +1,188 @@
+"""Memory encoder and memory attention for video/volume propagation.
+
+Native replacement for the sam2 package's MemoryEncoder/MemoryAttention
+(reference drives them via propagate_in_video,
+saber/adapters/sam2/predictor.py:196-202, 289-318). The memory bank that
+torch keeps as a dict of per-frame tensors becomes a fixed-capacity ring
+buffer pytree (saber_tpu/models/video.py) so the z-axis propagation runs
+as one ``lax.scan``; invalid slots are excluded with an additive attention
+bias instead of dynamic shapes.
+
+- MemoryEncoder: predicted mask (sigmoid-scaled) → 16× mask downsampler →
+  fuse with projected /16 vision features (ConvNeXt-style blocks) →
+  project to mem_dim=64.
+- MemoryAttention: 4 pre-norm layers; self-attention with axial RoPE over
+  the 64×64 feature grid; cross-attention into the concatenated memory
+  tokens (RoPE repeated per memory frame, object-pointer tokens excluded
+  from rotation).
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from saber_tpu.models.position_encoding import apply_rotary_enc, compute_axial_cis
+
+
+class LayerNorm2d(nn.Module):
+    """Channel-wise LayerNorm over NHWC feature maps (fp32)."""
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32)(x)
+
+
+class MaskDownSampler(nn.Module):
+    """Downsample a full-res mask 16× into embed_dim channels."""
+    embed_dim: int = 256
+    kernel_size: int = 3
+    stride: int = 2
+    total_stride: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 1)
+        import math
+        num_layers = int(math.log2(self.total_stride) // math.log2(self.stride))
+        ch = 1
+        for i in range(num_layers):
+            ch_out = ch * (self.stride**2)
+            x = nn.Conv(ch_out, (self.kernel_size, self.kernel_size),
+                        strides=(self.stride, self.stride),
+                        padding=self.kernel_size // 2, dtype=self.dtype,
+                        name=f"encoder_{i}_conv")(x)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name=f"encoder_{i}_ln")(x)
+            x = nn.gelu(x, approximate=False)
+            ch = ch_out
+        return nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="final_conv")(x)
+
+
+class CXBlock(nn.Module):
+    """ConvNeXt block: depthwise 7×7 → LN → MLP(4×) → layer-scale residual."""
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x
+        x = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
+                    dtype=self.dtype, name="dwconv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6), (self.dim,))
+        return inp + gamma * x
+
+
+class MemoryEncoder(nn.Module):
+    """(vision_features, mask) → mem_dim memory features."""
+    out_dim: int = 64
+    in_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pix_feat, masks):
+        """pix_feat: (B, H, W, 256) /16 features; masks: (B, 16H, 16W, 1)
+        already sigmoid-scaled. Returns (B, H, W, out_dim)."""
+        m = MaskDownSampler(embed_dim=self.in_dim, dtype=self.dtype,
+                            name="mask_downsampler")(masks.astype(self.dtype))
+        x = nn.Conv(self.in_dim, (1, 1), dtype=self.dtype, name="pix_feat_proj")(
+            pix_feat.astype(self.dtype))
+        x = x + m
+        x = CXBlock(self.in_dim, dtype=self.dtype, name="fuser_0")(x)
+        x = CXBlock(self.in_dim, dtype=self.dtype, name="fuser_1")(x)
+        return nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="out_proj")(x)
+
+
+class RoPEAttention(nn.Module):
+    """Attention with axial rotary embeddings on a 2D token grid."""
+    embedding_dim: int = 256
+    num_heads: int = 1
+    downsample_rate: int = 1
+    kv_in_dim: Optional[int] = None
+    rope_theta: float = 10000.0
+    rope_k_repeat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, num_k_exclude_rope: int = 0,
+                 attn_bias: Optional[jnp.ndarray] = None):
+        internal = self.embedding_dim // self.downsample_rate
+        head_dim = internal // self.num_heads
+        qp = nn.Dense(internal, dtype=self.dtype, name="q_proj")(q)
+        kp = nn.Dense(internal, dtype=self.dtype, name="k_proj")(k)
+        vp = nn.Dense(internal, dtype=self.dtype, name="v_proj")(v)
+        b, tq = qp.shape[:2]
+        tk = kp.shape[1]
+        qp = qp.reshape(b, tq, self.num_heads, head_dim)
+        kp = kp.reshape(b, tk, self.num_heads, head_dim)
+        vp = vp.reshape(b, tk, self.num_heads, head_dim)
+
+        side = int(round(tq**0.5))
+        freqs = compute_axial_cis(head_dim, side, side, self.rope_theta)
+        qp, kp = apply_rotary_enc(qp, kp, freqs, repeat_freqs_k=self.rope_k_repeat,
+                                  num_k_exclude_rope=num_k_exclude_rope)
+
+        scale = head_dim**-0.5
+        logits = jnp.einsum("bthd,bshd->bhts", qp, kp) * scale
+        if attn_bias is not None:
+            logits = logits + attn_bias  # (B, 1, 1, S) or broadcastable
+        probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qp.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", probs, vp).reshape(b, tq, internal)
+        return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class MemoryAttentionLayer(nn.Module):
+    d_model: int = 256
+    dim_feedforward: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos=None, query_pos=None,
+                 num_k_exclude_rope: int = 0, attn_bias=None):
+        # self-attention (RoPE, pre-norm)
+        tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(tgt)
+        tgt2 = RoPEAttention(self.d_model, num_heads=1, dtype=self.dtype,
+                             name="self_attn")(tgt2, tgt2, tgt2)
+        tgt = tgt + tgt2
+
+        # cross-attention into memory (kv_in_dim=64, k positions rotated
+        # per memory frame, obj-ptr tokens excluded)
+        tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tgt)
+        k = memory + pos if pos is not None else memory
+        tgt2 = RoPEAttention(self.d_model, num_heads=1, kv_in_dim=64,
+                             rope_k_repeat=True, dtype=self.dtype,
+                             name="cross_attn_image")(
+            tgt2, k, memory, num_k_exclude_rope=num_k_exclude_rope,
+            attn_bias=attn_bias)
+        tgt = tgt + tgt2
+
+        # FFN
+        tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(tgt)
+        tgt2 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt2)
+        tgt2 = nn.relu(tgt2)
+        tgt2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(tgt2)
+        return tgt + tgt2
+
+
+class MemoryAttention(nn.Module):
+    d_model: int = 256
+    num_layers: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, curr, memory, curr_pos=None, memory_pos=None,
+                 num_obj_ptr_tokens: int = 0, attn_bias=None):
+        """curr: (B, T, 256) current-frame tokens; memory: (B, S, 64)."""
+        x = curr
+        if curr_pos is not None:
+            x = x + 0.1 * curr_pos
+        for i in range(self.num_layers):
+            x = MemoryAttentionLayer(self.d_model, dtype=self.dtype,
+                                     name=f"layers_{i}")(
+                x, memory, pos=memory_pos,
+                num_k_exclude_rope=num_obj_ptr_tokens, attn_bias=attn_bias)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
