@@ -1,0 +1,360 @@
+"""Batched automatic mask generation (AMG) on TPU.
+
+Replaces the external ``SAM2AutomaticMaskGenerator`` +
+``FilteredSAM2MaskGenerator`` pair the reference builds in
+saber/adapters/sam2/automask.py:49-86 with a static-shape, jit-compiled
+pipeline (SURVEY.md §7.3):
+
+- the 32×32 point grid decodes through the mask decoder in fixed-size
+  prompt chunks (``points_per_batch``), multimask ×3 candidates per point;
+- optional mask-to-mask (m2m) refinement is a second single-mask decode
+  with the first pass's logits as dense prompt;
+- IoU / stability filters are vectorized; surviving candidates compact
+  into a fixed-capacity top-K ring via a scan (no dynamic shapes);
+- per-crop and cross-crop box NMS run on device
+  (saber_tpu/ops/amg_utils.py); the crop hierarchy
+  (``crop_n_layers``) batches each layer's crops through the encoder
+  together instead of looping crops in Python.
+
+Differences vs torch (documented tolerance): stability scores and boxes
+are computed on the 256² low-res logits rather than the upscaled
+full-res masks (identical up to interpolation at the 0-threshold).
+
+The public surface is ``AutomaticMaskGenerator.generate(image) ->
+List[mask dict]`` with the reference's mask-dict schema plus the
+relative-box/area filters of FilteredSAM2MaskGenerator (amg.py:139-201).
+"""
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from saber_tpu.config import AMGConfig
+from saber_tpu.models.sam2 import SAM2
+from saber_tpu.ops.amg_utils import (
+    batched_mask_to_box,
+    batched_nms,
+    build_point_grid,
+    calculate_stability_score,
+)
+
+MASK_THRESHOLD = 0.0
+
+
+def generate_crop_boxes(im_size: Tuple[int, int], n_layers: int,
+                        overlap_ratio: float) -> Tuple[List[List[int]], List[int]]:
+    """All crop boxes (XYXY) + their layer indices (SAM crop hierarchy)."""
+    crop_boxes, layer_idxs = [], []
+    h, w = im_size
+    crop_boxes.append([0, 0, w, h])
+    layer_idxs.append(0)
+    short_side = min(h, w)
+    for i_layer in range(n_layers):
+        n_per_side = 2 ** (i_layer + 1)
+        overlap = int(overlap_ratio * short_side * 2 / n_per_side)
+        crop_w = int(math.ceil((overlap * (n_per_side - 1) + w) / n_per_side))
+        crop_h = int(math.ceil((overlap * (n_per_side - 1) + h) / n_per_side))
+        x0s = [int((crop_w - overlap) * i) for i in range(n_per_side)]
+        y0s = [int((crop_h - overlap) * i) for i in range(n_per_side)]
+        for y0 in y0s:
+            for x0 in x0s:
+                crop_boxes.append([x0, y0, min(x0 + crop_w, w), min(y0 + crop_h, h)])
+                layer_idxs.append(i_layer + 1)
+    return crop_boxes, layer_idxs
+
+
+def _topk_merge(buf, new, k):
+    """Merge candidate pytrees sorted by (valid, score) desc, keep top k."""
+    merged = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0), buf, new)
+    score = jnp.where(merged["valid"], merged["iou"], -jnp.inf)
+    order = jnp.argsort(-score)[:k]
+    return jax.tree.map(lambda a: a[order], merged)
+
+
+class AutomaticMaskGenerator:
+    """Dense point-grid mask generator over a JAX SAM2 model.
+
+    Analog of SAM2AutomaticMaskGenerator + the filtering wrapper
+    (reference automask.py:49-86, amg.py:139-201).
+    """
+
+    def __init__(self, model: SAM2, params, cfg: Optional[AMGConfig] = None,
+                 min_rel_box_size: Optional[float] = None,
+                 max_rel_box_size: Optional[float] = None,
+                 min_area_filter: Optional[int] = None,
+                 max_area_filter: Optional[int] = None):
+        self.model = model
+        self.params = params
+        self.cfg = cfg or AMGConfig()
+        self.min_rel_box_size = min_rel_box_size
+        self.max_rel_box_size = max_rel_box_size
+        self.min_area_filter = min_area_filter
+        self.max_area_filter = max_area_filter
+        self._crop_fn_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    # Device pipeline
+    # ------------------------------------------------------------------
+
+    def _decode_chunk(self, params, backbone_b, points):
+        """points: (P, 2) model-frame pixels → (3P or P) candidates."""
+        cfg = self.cfg
+        p = points.shape[0]
+        pts = jnp.concatenate([points[:, None, :], jnp.zeros((p, 1, 2))], axis=1)
+        lbl = jnp.concatenate(
+            [jnp.ones((p, 1), jnp.int32), -jnp.ones((p, 1), jnp.int32)], axis=1)
+        masks, iou, _, _ = self.model.apply(
+            {"params": params}, backbone_b, pts, lbl,
+            multimask_output=cfg.multimask_output, method=SAM2.decode)
+        k = masks.shape[1]
+        flat_masks = masks.reshape(p * k, *masks.shape[2:])
+        flat_iou = iou.reshape(p * k)
+        flat_points = jnp.repeat(points, k, axis=0)
+
+        if cfg.use_m2m:
+            # refine every candidate with a single-mask pass conditioned on
+            # the first-pass logits (torch AMG refine_with_m2m).
+            pts_r = jnp.concatenate(
+                [flat_points[:, None, :], jnp.zeros((p * k, 1, 2))], axis=1)
+            lbl_r = jnp.concatenate(
+                [jnp.ones((p * k, 1), jnp.int32), -jnp.ones((p * k, 1), jnp.int32)],
+                axis=1)
+            backbone_r = jax.tree.map(
+                lambda x: jnp.repeat(x, k, axis=0) if x.ndim == 4 else x, backbone_b)
+            masks_r, iou_r, _, _ = self.model.apply(
+                {"params": params}, backbone_r, pts_r, lbl_r,
+                flat_masks[..., None], multimask_output=False,
+                dynamic_multimask=False, method=SAM2.decode)
+            flat_masks = masks_r[:, 0]
+            flat_iou = iou_r[:, 0]
+
+        stability = calculate_stability_score(
+            flat_masks, MASK_THRESHOLD, cfg.stability_score_offset)
+        valid = (flat_iou > cfg.pred_iou_thresh) & (stability >= cfg.stability_score_thresh)
+        # empty masks can sneak through; drop them
+        valid &= jnp.any(flat_masks > MASK_THRESHOLD, axis=(-2, -1))
+        return {
+            "masks": flat_masks, "iou": flat_iou, "stability": stability,
+            "points": flat_points, "valid": valid,
+        }
+
+    def _build_crop_fn(self, n_points_side: int, chunk: int):
+        """jit-compiled grid sweep for one (grid size, chunk) combination."""
+        cfg = self.cfg
+        model_size = self.model.config.image_size
+        cap = cfg.max_masks
+        lowres = model_size // 4
+
+        def run(params, backbone):
+            grid = build_point_grid(n_points_side) * model_size  # (G²,2) xy px
+            g2 = grid.shape[0]
+            pad = (-g2) % chunk
+            grid_p = jnp.concatenate(
+                [grid, jnp.full((pad, 2), -1.0)], axis=0) if pad else grid
+            pad_mask = jnp.concatenate(
+                [jnp.ones((g2,), bool), jnp.zeros((pad,), bool)]) if pad \
+                else jnp.ones((g2,), bool)
+            chunks = grid_p.reshape(-1, chunk, 2)
+            chunk_valid = pad_mask.reshape(-1, chunk)
+
+            k_mult = 3 if cfg.multimask_output else 1
+            backbone_b = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (chunk, *x.shape[1:]))
+                if x.ndim == 4 else x, backbone)
+
+            init = {
+                "masks": jnp.full((cap, lowres, lowres), -1e4, jnp.float32),
+                "iou": jnp.zeros((cap,), jnp.float32),
+                "stability": jnp.zeros((cap,), jnp.float32),
+                "points": jnp.zeros((cap, 2), jnp.float32),
+                "valid": jnp.zeros((cap,), bool),
+            }
+
+            def step(buf, inp):
+                pts, pvalid = inp
+                out = self._decode_chunk(params, backbone_b, pts)
+                out["valid"] &= jnp.repeat(pvalid, k_mult)
+                return _topk_merge(buf, out, cap), None
+
+            buf, _ = jax.lax.scan(step, init, (chunks, chunk_valid))
+
+            # per-crop NMS on low-res boxes (scaled up at the host boundary)
+            boxes = batched_mask_to_box(buf["masks"] > MASK_THRESHOLD)
+            keep = batched_nms(boxes, buf["iou"], buf["valid"],
+                               cfg.box_nms_thresh)
+            buf["valid"] &= keep
+            buf["boxes"] = boxes
+            return buf
+
+        return jax.jit(run)
+
+    def _run_crop(self, backbone, n_points_side: int):
+        chunk = min(self.cfg.points_per_batch, n_points_side**2)
+        key = (n_points_side, chunk)
+        if key not in self._crop_fn_cache:
+            self._crop_fn_cache[key] = self._build_crop_fn(n_points_side, chunk)
+        return self._crop_fn_cache[key](self.params, backbone)
+
+    # ------------------------------------------------------------------
+    # Host orchestration
+    # ------------------------------------------------------------------
+
+    def _encode(self, images: np.ndarray):
+        """images: (B, S, S, 3) resized crops → backbone pytree."""
+        return self.model.apply({"params": self.params},
+                                jnp.asarray(images), method=SAM2.encode_image)
+
+    def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
+        """image: (H, W, 3) float in [0,1] (reference prepare() output).
+
+        Returns the reference mask-dict list sorted by predicted IoU.
+        """
+        cfg = self.cfg
+        if image.ndim == 2:
+            image = np.repeat(image[..., None], 3, axis=2)
+        h, w = image.shape[:2]
+        model_size = self.model.config.image_size
+        lowres = model_size // 4
+
+        crop_boxes, layer_idxs = generate_crop_boxes(
+            (h, w), cfg.crop_n_layers, cfg.crop_overlap_ratio)
+
+        all_data: List[Dict[str, np.ndarray]] = []
+        for crop_box, layer in zip(crop_boxes, layer_idxs):
+            x0, y0, x1, y1 = crop_box
+            crop = image[y0:y1, x0:x1]
+            ch, cw = crop.shape[:2]
+            resized = np.asarray(jax.image.resize(
+                jnp.asarray(crop, jnp.float32), (model_size, model_size, 3),
+                method="bilinear"))
+            backbone = self._encode(resized[None])
+            n_side = max(1, cfg.npoints // (cfg.crop_n_points_downscale_factor ** layer))
+            buf = jax.tree.map(np.asarray, self._run_crop(backbone, n_side))
+
+            keep = buf["valid"]
+            if not keep.any():
+                continue
+            idx = np.nonzero(keep)[0]
+            # scale low-res boxes/points back to image frame
+            sx, sy = cw / lowres, ch / lowres
+            boxes = buf["boxes"][idx] * np.array([sx, sy, sx, sy], np.float32)
+            boxes += np.array([x0, y0, x0, y0], np.float32)
+            pts = buf["points"][idx] * np.array([cw / model_size, ch / model_size],
+                                                np.float32)
+            pts += np.array([x0, y0], np.float32)
+            all_data.append({
+                "masks_lowres": buf["masks"][idx],
+                "iou": buf["iou"][idx],
+                "stability": buf["stability"][idx],
+                "boxes": boxes,
+                "points": pts,
+                "crop_box": np.array(crop_box, np.float32),
+                "crop_hw": (ch, cw),
+            })
+
+        if not all_data:
+            return []
+
+        # cross-crop NMS preferring smaller crops (torch AMG semantics)
+        boxes = np.concatenate([d["boxes"] for d in all_data])
+        crop_areas = np.concatenate([
+            np.full(len(d["iou"]),
+                    (d["crop_box"][2] - d["crop_box"][0])
+                    * (d["crop_box"][3] - d["crop_box"][1]))
+            for d in all_data])
+        if len(all_data) > 1:
+            scores = 1.0 / crop_areas
+            keep = np.asarray(batched_nms(
+                jnp.asarray(boxes), jnp.asarray(scores),
+                jnp.ones((len(boxes),), bool), cfg.box_nms_thresh))
+        else:
+            keep = np.ones(len(boxes), bool)
+
+        # rasterize kept masks into full-res canvases
+        out: List[Dict[str, Any]] = []
+        offset = 0
+        for d in all_data:
+            n = len(d["iou"])
+            kept = np.nonzero(keep[offset:offset + n])[0]
+            offset += n
+            if kept.size == 0:
+                continue
+            ch, cw = d["crop_hw"]
+            x0, y0 = int(d["crop_box"][0]), int(d["crop_box"][1])
+            up = np.asarray(jax.image.resize(
+                jnp.asarray(d["masks_lowres"][kept]),
+                (kept.size, ch, cw), method="bilinear"))
+            for j, i in enumerate(kept):
+                seg = np.zeros((h, w), bool)
+                seg[y0:y0 + ch, x0:x0 + cw] = up[j] > MASK_THRESHOLD
+                area = int(seg.sum())
+                if area == 0:
+                    continue
+                bx = d["boxes"][i]
+                out.append({
+                    "segmentation": seg,
+                    "area": area,
+                    "bbox": [float(bx[0]), float(bx[1]),
+                             float(bx[2] - bx[0]), float(bx[3] - bx[1])],
+                    "predicted_iou": float(d["iou"][i]),
+                    "point_coords": [d["points"][i].tolist()],
+                    "stability_score": float(d["stability"][i]),
+                    "crop_box": d["crop_box"].tolist(),
+                })
+
+        out = self._apply_filters(out, h, w)
+        out.sort(key=lambda m: m["predicted_iou"], reverse=True)
+        return out
+
+    def _apply_filters(self, masks, h, w):
+        """Relative-box-size and area filters (reference amg.py:139-201)."""
+        res = masks
+        if self.max_rel_box_size is not None or self.min_rel_box_size is not None:
+            kept = []
+            for m in res:
+                _, _, bw, bh = m["bbox"]
+                rw, rh = bw / w, bh / h
+                ok = True
+                if self.max_rel_box_size is not None:
+                    ok = ok and rw < self.max_rel_box_size and rh < self.max_rel_box_size
+                if self.min_rel_box_size is not None:
+                    ok = ok and rw > self.min_rel_box_size and rh > self.min_rel_box_size
+                if ok:
+                    kept.append(m)
+            res = kept
+        if self.min_area_filter is not None or self.max_area_filter is not None:
+            kept = []
+            for m in res:
+                ok = True
+                if self.min_area_filter is not None:
+                    ok = ok and m["area"] >= self.min_area_filter
+                if self.max_area_filter is not None:
+                    ok = ok and m["area"] <= self.max_area_filter
+                if ok:
+                    kept.append(m)
+            res = kept
+        return res
+
+    def set_filters(self, min_rel_box_size=None, max_rel_box_size=None,
+                    min_area_filter=None):
+        """Update filter parameters (reference amg.py:185-197)."""
+        if min_rel_box_size is not None:
+            self.min_rel_box_size = min_rel_box_size
+        if max_rel_box_size is not None:
+            self.max_rel_box_size = max_rel_box_size
+        if min_area_filter is not None:
+            self.min_area_filter = min_area_filter
+
+
+def build_amg(model: SAM2, params, amg_cfg: Optional[AMGConfig] = None,
+              min_rel_box_size: Optional[float] = None,
+              max_rel_box_size: Optional[float] = None,
+              min_area_filter: Optional[int] = None) -> AutomaticMaskGenerator:
+    """Construct the point-grid generator (reference automask.py:49-86)."""
+    return AutomaticMaskGenerator(
+        model, params, amg_cfg,
+        min_rel_box_size=min_rel_box_size, max_rel_box_size=max_rel_box_size,
+        min_area_filter=min_area_filter)

@@ -142,7 +142,8 @@ class SAM2(nn.Module):
                labels: Optional[jnp.ndarray] = None,
                mask_inputs: Optional[jnp.ndarray] = None,
                multimask_output: bool = True,
-               conditioned_embed: Optional[jnp.ndarray] = None):
+               conditioned_embed: Optional[jnp.ndarray] = None,
+               dynamic_multimask: bool = True):
         """Prompt-conditioned mask prediction.
 
         backbone: output of encode_image (batch must match prompts).
@@ -163,7 +164,7 @@ class SAM2(nn.Module):
         image_pe = self.sam_prompt_encoder.get_dense_pe()
         return self.sam_mask_decoder(
             embed, image_pe, sparse, dense, high_res_features=high_res,
-            multimask_output=multimask_output)
+            multimask_output=multimask_output, dynamic_multimask=dynamic_multimask)
 
     def encode_memory(self, vision_features: jnp.ndarray, mask_logits: jnp.ndarray,
                       object_score_logits: Optional[jnp.ndarray] = None):

@@ -1,0 +1,262 @@
+"""Video/volume propagation as a functional scan.
+
+TPU-native redesign of the torch SAM2 video predictor the reference wraps
+(saber/adapters/sam2/predictor.py:182-348). The torch implementation keeps
+a Python ``inference_state`` dict of per-frame tensors and iterates frames
+in a Python generator; here the whole propagation is:
+
+1. ``encode_batch``: the encoder runs over a *slab* of z-slices at once —
+   the embarrassingly parallel half (SURVEY.md §5 "long-context").
+2. ``propagate_slab``: a single ``lax.scan`` over the slab's frames. The
+   carried ``PropagationState`` is a fixed-capacity pytree: a ring buffer
+   of the ``num_maskmem-1`` most recent memory features, the conditioning
+   (seed) frame's memory, and an object-pointer ring — torch's dicts of
+   variable length become static slots masked with an additive attention
+   bias.
+3. Object-score logits come back as scan outputs (the reference needs a
+   forward hook to see them, predictor.py:277-284).
+
+All objects propagate together as the batch axis (B = num objects).
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from saber_tpu.models.sam2 import SAM2
+
+
+@struct.dataclass
+class PropagationState:
+    """Fixed-capacity memory bank carried through the propagation scan."""
+    # ring of recent non-conditioning memories, slot 0 = newest
+    mem_feats: jnp.ndarray    # (R, B, T, mem_dim)
+    mem_frames: jnp.ndarray   # (R,) int32 frame index, -1 = empty
+    # conditioning (seed) frame
+    cond_feats: jnp.ndarray   # (B, T, mem_dim)
+    cond_frame: jnp.ndarray   # () int32
+    cond_ptr: jnp.ndarray     # (B, d_model)
+    # object-pointer ring (most recent first)
+    ptr: jnp.ndarray          # (P, B, d_model)
+    ptr_frames: jnp.ndarray   # (P,) int32, -1 = empty
+
+
+def init_state(num_objects: int, cfg) -> PropagationState:
+    r = max(cfg.num_maskmem - 1, 0)
+    t = cfg.feat_size * cfg.feat_size
+    p = cfg.max_obj_ptrs_in_encoder - 1
+    return PropagationState(
+        mem_feats=jnp.zeros((r, num_objects, t, cfg.mem_dim), jnp.float32),
+        mem_frames=-jnp.ones((r,), jnp.int32),
+        cond_feats=jnp.zeros((num_objects, t, cfg.mem_dim), jnp.float32),
+        cond_frame=jnp.asarray(-1, jnp.int32),
+        cond_ptr=jnp.zeros((num_objects, cfg.d_model), jnp.float32),
+        ptr=jnp.zeros((p, num_objects, cfg.d_model), jnp.float32),
+        ptr_frames=-jnp.ones((p,), jnp.int32),
+    )
+
+
+class VideoCore:
+    """Jit-compiled propagation primitives over a SAM2 model."""
+
+    def __init__(self, model: SAM2):
+        self.model = model
+        self.cfg = model.config
+
+    # -- encoder ---------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def encode_batch(self, params, images: jnp.ndarray):
+        """images: (F, S, S, 3) → backbone pytree (batched over frames)."""
+        return self.model.apply({"params": params}, images,
+                                method=SAM2.encode_image)
+
+    # -- seeding ---------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def seed(self, params, backbone_frame, masks: jnp.ndarray,
+             frame_idx: jnp.ndarray, state: PropagationState
+             ) -> Tuple[PropagationState, jnp.ndarray]:
+        """Seed B object masks at one frame (torch add_new_mask analog).
+
+        backbone_frame: single-frame backbone (batch 1); masks: (B, S, S)
+        float/bool at model resolution. Returns (state, low_res_logits).
+        """
+        cfg = self.cfg
+        b = masks.shape[0]
+        size = cfg.image_size
+        low = size // 4
+        m = (masks > 0.5).astype(jnp.float32)
+        high_logits = m[..., None] * 20.0 - 10.0           # (B, S, S, 1)
+        low_logits = jax.image.resize(high_logits, (b, low, low, 1),
+                                      method="bilinear")[..., 0]
+
+        backbone_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (b, *x.shape[1:])) if x.ndim == 4 else x,
+            backbone_frame)
+        # obj pointer via SAM heads with the mask as dense prompt
+        pts = jnp.zeros((b, 1, 2), jnp.float32)
+        lbl = -jnp.ones((b, 1), jnp.int32)
+        _, _, sam_tokens, obj_logits = self.model.apply(
+            {"params": params}, backbone_b, pts, lbl, low_logits[..., None],
+            multimask_output=False, dynamic_multimask=False, method=SAM2.decode)
+        obj_ptr = self.model.apply({"params": params}, sam_tokens[:, 0],
+                                   method=SAM2.project_obj_ptr)
+
+        vision = backbone_b["vision_features"]
+        mem = self.model.apply({"params": params}, vision, high_logits,
+                               jnp.full((b, 1), 10.0), method=SAM2.encode_memory)
+        state = state.replace(
+            cond_feats=mem.astype(jnp.float32),
+            cond_frame=frame_idx.astype(jnp.int32),
+            cond_ptr=obj_ptr.astype(jnp.float32))
+        return state, low_logits
+
+    # -- one tracking step ----------------------------------------------
+
+    def _assemble_memory(self, params, state: PropagationState,
+                         frame_idx, tpos_sign):
+        """Concatenate cond + ring memories + pointer tokens with biases."""
+        cfg = self.cfg
+        model = self.model
+        n = cfg.num_maskmem
+        r = state.mem_feats.shape[0]
+        b, t, md = state.cond_feats.shape
+
+        tpos = params["maskmem_tpos_enc"].reshape(n, 1, 1, md)
+        spatial_pos = model.apply({"params": params}, method=SAM2.memory_pos_enc)
+        spatial_pos = spatial_pos[None]                     # (1, T, md)
+
+        feats = [state.cond_feats]
+        pos = [jnp.broadcast_to(spatial_pos + tpos[n - 1], (b, t, md))]
+        bias = [jnp.zeros((b, 1, 1, t), jnp.float32)]
+        for j in range(r):  # slot j has recency r=j+1
+            feats.append(state.mem_feats[j])
+            pos.append(jnp.broadcast_to(spatial_pos + tpos[n - 2 - j], (b, t, md)))
+            invalid = state.mem_frames[j] < 0
+            bias.append(jnp.where(invalid, -1e9, 0.0)
+                        * jnp.ones((b, 1, 1, t), jnp.float32))
+
+        # object pointers: cond pointer + ring, each split into 256/64 tokens
+        split = cfg.d_model // md
+        ptr_all = jnp.concatenate([state.cond_ptr[None], state.ptr], axis=0)  # (P+1,B,256)
+        ptr_frames = jnp.concatenate(
+            [state.cond_frame[None], state.ptr_frames], axis=0)
+        p1 = ptr_all.shape[0]
+        tdiff = (frame_idx - ptr_frames).astype(jnp.float32) * tpos_sign
+        ptr_pos = model.apply({"params": params}, tdiff,
+                              method=SAM2.obj_ptr_tpos)        # (P+1, md)
+        ptr_tokens = ptr_all.transpose(1, 0, 2).reshape(b, p1 * split, md)
+        ptr_pos_tokens = jnp.repeat(ptr_pos, split, axis=0)[None]  # (1, P1*split, md)
+        ptr_pos_tokens = jnp.broadcast_to(ptr_pos_tokens, (b, p1 * split, md))
+        ptr_invalid = ptr_frames < 0                            # (P+1,)
+        ptr_bias = jnp.where(jnp.repeat(ptr_invalid, split), -1e9, 0.0)
+        ptr_bias = jnp.broadcast_to(ptr_bias[None, None, None, :],
+                                    (b, 1, 1, p1 * split))
+
+        memory = jnp.concatenate(feats + [ptr_tokens], axis=1)
+        memory_pos = jnp.concatenate(pos + [ptr_pos_tokens], axis=1)
+        attn_bias = jnp.concatenate(bias + [ptr_bias], axis=3)
+        return memory, memory_pos, attn_bias, p1 * split
+
+    @staticmethod
+    def slab_frames(backbone_slab):
+        """Backbone pytree → minimal per-frame feature dict for the scan."""
+        return {
+            "vision": backbone_slab["vision_features"],      # (F, fs, fs, 256)
+            "fpn0": backbone_slab["backbone_fpn"][0],        # (F, 4fs, 4fs, 256)
+            "fpn1": backbone_slab["backbone_fpn"][1],        # (F, 2fs, 2fs, 256)
+        }
+
+    @partial(jax.jit, static_argnums=0)
+    def step(self, params, state: PropagationState, frame, frame_idx, tpos_sign):
+        """Track all objects through one frame.
+
+        frame: dict(vision (fs,fs,256), fpn0, fpn1) for ONE frame (no batch
+        axis). Returns (new_state, (low_res_logits (B,low,low),
+        obj_score_logits (B,1))).
+        """
+        from saber_tpu.models.position_encoding import position_embedding_sine
+
+        cfg = self.cfg
+        b = state.cond_feats.shape[0]
+        fs = cfg.feat_size
+        t = fs * fs
+
+        backbone_b = {
+            "vision_features": jnp.broadcast_to(
+                frame["vision"][None], (b, *frame["vision"].shape)),
+            "backbone_fpn": [
+                jnp.broadcast_to(frame["fpn0"][None], (b, *frame["fpn0"].shape)),
+                jnp.broadcast_to(frame["fpn1"][None], (b, *frame["fpn1"].shape)),
+            ],
+        }
+        vision = backbone_b["vision_features"]               # (B, fs, fs, 256)
+        vis_tokens = vision.reshape(b, t, cfg.d_model)
+        vis_pos = position_embedding_sine(fs, fs, cfg.d_model).reshape(1, t, cfg.d_model)
+        vis_pos = jnp.broadcast_to(vis_pos, (b, t, cfg.d_model)).astype(vis_tokens.dtype)
+
+        memory, memory_pos, attn_bias, n_ptr_tokens = self._assemble_memory(
+            params, state, frame_idx, tpos_sign)
+        conditioned = self.model.apply(
+            {"params": params}, vis_tokens, vis_pos, memory, memory_pos,
+            n_ptr_tokens, attn_bias, method=SAM2.condition_features)
+        conditioned = conditioned.reshape(b, fs, fs, cfg.d_model)
+
+        # track with an empty prompt (single padding point, torch convention)
+        pts = jnp.zeros((b, 1, 2), jnp.float32)
+        lbl = -jnp.ones((b, 1), jnp.int32)
+        masks, iou, sam_tokens, obj_logits = self.model.apply(
+            {"params": params}, backbone_b, pts, lbl,
+            multimask_output=False, conditioned_embed=conditioned,
+            method=SAM2.decode)
+        low_logits = masks[:, 0]                             # (B, low, low)
+
+        obj_ptr = self.model.apply({"params": params}, sam_tokens[:, 0],
+                                   method=SAM2.project_obj_ptr)
+
+        # encode new memory from the predicted mask at full resolution
+        size = cfg.image_size
+        high = jax.image.resize(low_logits[..., None],
+                                (b, size, size, 1), method="bilinear")
+        mem = self.model.apply({"params": params}, vision, high, obj_logits,
+                               method=SAM2.encode_memory)
+
+        # ring updates (newest first)
+        new_mem = jnp.concatenate([mem[None].astype(jnp.float32),
+                                   state.mem_feats[:-1]], axis=0) \
+            if state.mem_feats.shape[0] > 0 else state.mem_feats
+        new_mem_frames = jnp.concatenate(
+            [frame_idx[None].astype(jnp.int32), state.mem_frames[:-1]]) \
+            if state.mem_frames.shape[0] > 0 else state.mem_frames
+        new_ptr = jnp.concatenate([obj_ptr[None].astype(jnp.float32),
+                                   state.ptr[:-1]], axis=0) \
+            if state.ptr.shape[0] > 0 else state.ptr
+        new_ptr_frames = jnp.concatenate(
+            [frame_idx[None].astype(jnp.int32), state.ptr_frames[:-1]]) \
+            if state.ptr_frames.shape[0] > 0 else state.ptr_frames
+
+        state = state.replace(mem_feats=new_mem, mem_frames=new_mem_frames,
+                              ptr=new_ptr, ptr_frames=new_ptr_frames)
+        return state, (low_logits, obj_logits)
+
+    # -- slab scan -------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def propagate_slab(self, params, state: PropagationState, frames,
+                       frame_indices: jnp.ndarray, tpos_sign):
+        """Scan ``step`` over a slab of precomputed frame features.
+
+        frames: ``slab_frames`` dict with leading frame axis F.
+        frame_indices: (F,) absolute frame indices in scan order.
+        Returns (state, (low_logits (F,B,low,low), obj_scores (F,B,1))).
+        """
+        def body(st, inp):
+            frame, fidx = inp
+            return self.step(params, st, frame, fidx, tpos_sign)
+
+        return jax.lax.scan(body, state, (frames, frame_indices))

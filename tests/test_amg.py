@@ -1,0 +1,92 @@
+"""AMG pipeline tests: schema, static capacity, filters, crop hierarchy.
+
+Run with a small random-weight model (the reference smoke tests likewise
+use synthetic inputs, adapters/sam3/tests/test_tomogram_predictor.py) —
+assertions target pipeline mechanics, not mask quality.
+"""
+
+import numpy as np
+import pytest
+
+from saber_tpu.amg import AutomaticMaskGenerator, build_amg, generate_crop_boxes
+from saber_tpu.config import AMGConfig
+from saber_tpu.models.sam2 import build_sam2
+
+IMG = 128
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    return build_sam2("tiny", image_size=IMG, seed=0)
+
+
+def _loose_cfg(**kw):
+    base = dict(npoints=4, points_per_batch=8, pred_iou_thresh=0.01,
+                stability_score_thresh=0.0, crop_n_layers=0, use_m2m=False,
+                max_masks=16)
+    base.update(kw)
+    return AMGConfig(**base)
+
+
+def test_generate_crop_boxes():
+    boxes, layers = generate_crop_boxes((100, 200), 1, 0.25)
+    assert boxes[0] == [0, 0, 200, 100] and layers[0] == 0
+    assert len(boxes) == 5  # full + 2x2
+    assert all(l == 1 for l in layers[1:])
+    for x0, y0, x1, y1 in boxes:
+        assert 0 <= x0 < x1 <= 200 and 0 <= y0 < y1 <= 100
+
+
+def test_amg_schema_and_capacity(tiny, rng):
+    model, params = tiny
+    amg = AutomaticMaskGenerator(model, params, _loose_cfg())
+    img = rng.random((IMG, IMG)).astype(np.float32)
+    masks = amg.generate(img)
+    assert isinstance(masks, list)
+    assert len(masks) <= 16  # static capacity respected
+    if masks:
+        m = masks[0]
+        for key in ("segmentation", "area", "bbox", "predicted_iou",
+                    "point_coords", "stability_score", "crop_box"):
+            assert key in m, key
+        assert m["segmentation"].shape == (IMG, IMG)
+        assert m["segmentation"].dtype == bool
+        assert m["area"] == int(m["segmentation"].sum())
+        ious = [mm["predicted_iou"] for mm in masks]
+        assert ious == sorted(ious, reverse=True)
+
+
+def test_amg_strict_threshold_empty(tiny, rng):
+    model, params = tiny
+    amg = AutomaticMaskGenerator(model, params, _loose_cfg(pred_iou_thresh=0.999))
+    img = rng.random((IMG, IMG)).astype(np.float32)
+    assert amg.generate(img) == []
+
+
+def test_amg_m2m_path(tiny, rng):
+    model, params = tiny
+    amg = AutomaticMaskGenerator(model, params, _loose_cfg(use_m2m=True, npoints=2))
+    img = rng.random((IMG, IMG)).astype(np.float32)
+    masks = amg.generate(img)
+    assert isinstance(masks, list)
+
+
+def test_amg_crop_layers(tiny, rng):
+    model, params = tiny
+    amg = AutomaticMaskGenerator(
+        model, params, _loose_cfg(crop_n_layers=1, npoints=2, max_masks=8))
+    img = rng.random((IMG, IMG, 3)).astype(np.float32)
+    masks = amg.generate(img)
+    assert isinstance(masks, list)
+    # crop boxes recorded per candidate
+    for m in masks:
+        assert len(m["crop_box"]) == 4
+
+
+def test_amg_filters(tiny, rng):
+    model, params = tiny
+    amg = build_amg(model, params, _loose_cfg(), min_area_filter=10**9)
+    img = rng.random((IMG, IMG)).astype(np.float32)
+    assert amg.generate(img) == []  # everything filtered by absurd area bound
+    amg.set_filters(min_area_filter=0)
+    assert amg.min_area_filter == 0

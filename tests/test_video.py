@@ -1,0 +1,95 @@
+"""Propagation-core tests, modeled on the reference's tomogram predictor
+smoke tests (adapters/sam3/tests/test_tomogram_predictor.py: synthetic
+volume, seeding, bidirectional propagation, state reset)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from saber_tpu.models.sam2 import SAM2, build_sam2
+from saber_tpu.models.video import PropagationState, VideoCore, init_state
+
+IMG = 128
+
+
+@pytest.fixture(scope="module")
+def core():
+    model, params = build_sam2("tiny", image_size=IMG, num_maskmem=2, seed=0)
+    return VideoCore(model), params
+
+
+def _seed_masks(b=2):
+    masks = np.zeros((b, IMG, IMG), np.float32)
+    masks[0, 30:60, 30:60] = 1.0
+    if b > 1:
+        masks[1, 70:100, 70:100] = 1.0
+    return jnp.asarray(masks)
+
+
+def test_init_state_shapes(core):
+    vc, _ = core
+    st = init_state(3, vc.cfg)
+    assert st.mem_feats.shape == (1, 3, 64, 64)  # num_maskmem=2 → 1 ring slot
+    assert st.cond_frame == -1
+    assert st.ptr.shape[0] == vc.cfg.max_obj_ptrs_in_encoder - 1
+
+
+def test_seed_and_step(core, rng):
+    vc, params = core
+    frames = jnp.asarray(rng.standard_normal((3, IMG, IMG, 3)).astype(np.float32))
+    backbone = vc.encode_batch(params, frames)
+    frame0 = jax.tree.map(lambda x: x[:1] if x.ndim == 4 else x, backbone)
+
+    st = init_state(2, vc.cfg)
+    st, seed_logits = vc.seed(params, frame0, _seed_masks(), jnp.asarray(0), st)
+    assert int(st.cond_frame) == 0
+    assert seed_logits.shape == (2, IMG // 4, IMG // 4)
+    # seeded logits binarize back to the input masks (downsampled)
+    seeded = np.asarray(seed_logits[0] > 0)
+    assert seeded[10, 10] and not seeded[0, 0]
+
+    slab = jax.tree.map(lambda x: x[1:], VideoCore.slab_frames(backbone))
+    st2, (low, scores) = vc.propagate_slab(
+        params, st, slab, jnp.asarray([1, 2]), jnp.asarray(1.0))
+    assert low.shape == (2, 2, IMG // 4, IMG // 4)
+    assert scores.shape == (2, 2, 1)
+    assert np.isfinite(np.asarray(low)).all()
+    assert np.isfinite(np.asarray(scores)).all()
+    # memory ring now holds frame 2 (the newest)
+    assert int(st2.mem_frames[0]) == 2
+    assert int(st2.ptr_frames[0]) == 2
+    assert int(st2.ptr_frames[1]) == 1
+
+
+def test_propagation_deterministic(core, rng):
+    vc, params = core
+    frames = jnp.asarray(rng.standard_normal((2, IMG, IMG, 3)).astype(np.float32))
+    backbone = vc.encode_batch(params, frames)
+    frame0 = jax.tree.map(lambda x: x[:1] if x.ndim == 4 else x, backbone)
+    st = init_state(2, vc.cfg)
+    st, _ = vc.seed(params, frame0, _seed_masks(), jnp.asarray(0), st)
+    slab = jax.tree.map(lambda x: x[1:], VideoCore.slab_frames(backbone))
+    _, (low1, _) = vc.propagate_slab(params, st, slab, jnp.asarray([1]), jnp.asarray(1.0))
+    _, (low2, _) = vc.propagate_slab(params, st, slab, jnp.asarray([1]), jnp.asarray(1.0))
+    np.testing.assert_allclose(np.asarray(low1), np.asarray(low2))
+
+
+def test_empty_memory_slots_are_masked(core, rng):
+    """With an empty ring, step output must depend only on the cond frame:
+    filling invalid slots with garbage must not change the result."""
+    vc, params = core
+    frames = jnp.asarray(rng.standard_normal((2, IMG, IMG, 3)).astype(np.float32))
+    backbone = vc.encode_batch(params, frames)
+    frame0 = jax.tree.map(lambda x: x[:1] if x.ndim == 4 else x, backbone)
+    st = init_state(1, vc.cfg)
+    st, _ = vc.seed(params, frame0, _seed_masks(1), jnp.asarray(0), st)
+
+    frame1 = jax.tree.map(lambda x: x[1], VideoCore.slab_frames(backbone))
+    _, (low_a, _) = vc.step(params, st, frame1, jnp.asarray(1), jnp.asarray(1.0))
+
+    garbage = st.replace(
+        mem_feats=jnp.ones_like(st.mem_feats) * 123.0,
+        ptr=jnp.ones_like(st.ptr) * -55.0)
+    _, (low_b, _) = vc.step(params, garbage, frame1, jnp.asarray(1), jnp.asarray(1.0))
+    np.testing.assert_allclose(np.asarray(low_a), np.asarray(low_b), atol=1e-5)
