@@ -1,0 +1,55 @@
+"""Tomogram → model-frame preprocessing.
+
+Replaces the reference's per-slice Python loop
+(saber/adapters/preprocessing.py:44-49: one skimage resize + tensor copy
+per slice) with one batched on-device resize over all z-slices. The
+numerical contract is preserved: global min-max to [0,1], anti-aliased
+resize to (image_size, image_size), channel-repeat to RGB, then either
+``2*img-1`` ([-1,1]) or 0-255 for light modality
+(reference preprocessing.py:58-68).
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("image_size", "light_modality"))
+def _prepare_frames(vol: jnp.ndarray, image_size: int, light_modality: bool):
+    vol = vol.astype(jnp.float32)
+    vol = (vol - vol.min()) / (vol.max() - vol.min() + 1e-12)
+    vol = vol * 2.0 - 1.0  # normalize_tomogram (reference :72-76)
+    z = vol.shape[0]
+    frames = jax.image.resize(vol, (z, image_size, image_size),
+                              method="linear", antialias=True)
+    # to [0,1] per-frame convention of load_img_as_tensor then 2x-1 again
+    # (reference applies resize on the [-1,1] volume, repeats channels,
+    #  then 2*img-1 — reproduce exactly)
+    frames = jnp.repeat(frames[..., None], 3, axis=-1)  # (Z, S, S, 3)
+    frames = 2.0 * frames - 1.0
+    if light_modality:
+        frames = (frames - frames.min()) / (frames.max() - frames.min() + 1e-12)
+        frames = frames * 255.0
+    return frames
+
+
+class TomogramPreprocessor:
+    """API analog of reference TomogramPreprocessor (preprocessing.py:7-76)."""
+
+    def __init__(self, light_modality: bool = False):
+        self.light_modality = light_modality
+
+    def normalize_tomogram(self, tomogram: np.ndarray) -> np.ndarray:
+        t = (tomogram - tomogram.min()) / (tomogram.max() - tomogram.min())
+        return t * 2 - 1
+
+    def prepare_volume(self, tomogram: np.ndarray, image_size: int
+                       ) -> Tuple[jnp.ndarray, int, int]:
+        """(Z, H, W) numpy → ((Z, S, S, 3) device array, H, W)."""
+        z, h, w = tomogram.shape
+        frames = _prepare_frames(jnp.asarray(tomogram), image_size,
+                                 self.light_modality)
+        return frames, h, w

@@ -1,0 +1,344 @@
+"""JAX SAM2 adapter: the reference's model seam, TPU-native inside.
+
+API-compatible with reference saber/adapters/sam2/predictor.py (class
+SAM2Adapter) but the internals are the functional stack:
+
+- ``segment_image_2d`` → batched AMG (saber_tpu/amg.py)
+- ``set_volume`` → one batched on-device preprocess (no per-slice loop)
+- ``segment_volume`` → slab-encoded bidirectional ``lax.scan`` propagation
+  (saber_tpu/models/video.py), object scores returned functionally where
+  the reference hooks the decoder (predictor.py:277-284), presence-curve
+  gating via the vmapped fitter (saber_tpu/ops/thickness.py)
+
+The memory bank honors ``config.num_maskmem`` (default 2) exactly like the
+reference's truncation (predictor.py:28-34).
+"""
+
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from saber_tpu.adapters.base import BaseAdapter
+from saber_tpu.adapters.preprocessing import TomogramPreprocessor
+from saber_tpu.amg import build_amg
+from saber_tpu.config import AMGConfig, SAM2AdapterConfig
+from saber_tpu.models.sam2 import SAM2, build_sam2
+from saber_tpu.models.video import PropagationState, VideoCore, init_state
+from saber_tpu.ops import preprocessing as prep
+from saber_tpu.ops import thickness
+
+
+def _paint_slab(low_logits: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """(F, B, low, low) logits → (F, H, W) int32 label maps.
+
+    Later object ids overwrite earlier ones where masks overlap, matching
+    the reference's sequential paint (predictor.py:289-297); binarize at
+    low res, nearest-resize (reference uses order-0 skimage resize).
+    """
+    f, b = low_logits.shape[:2]
+    m = low_logits > 0.0
+    ids = jnp.arange(1, b + 1, dtype=jnp.int32).reshape(1, b, 1, 1)
+    labels = jnp.max(m * ids, axis=1)  # (F, low, low); higher id wins
+    return jax.image.resize(labels.astype(jnp.float32), (f, out_h, out_w),
+                            method="nearest").astype(jnp.int32)
+
+
+_paint_slab = jax.jit(_paint_slab, static_argnames=("out_h", "out_w"))
+
+
+class SAM2Adapter(BaseAdapter):
+    """Native JAX implementation of the reference SAM2Adapter."""
+
+    def __init__(self, config: SAM2AdapterConfig, device: str = "tpu",
+                 encode_chunk: int = 8):
+        if config.num_maskmem > 7:
+            raise ValueError("num_maskmem must be less than 7")
+        dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        self.model, self.params = build_sam2(
+            config.cfg, image_size=config.image_size, dtype=dtype,
+            num_maskmem=config.num_maskmem, checkpoint=config.checkpoint)
+        self.core = VideoCore(self.model)
+        self.preprocessor = TomogramPreprocessor(config.light_modality)
+        self.encode_chunk = encode_chunk
+
+        self.frame_metrics: Dict[int, Dict[int, Dict[str, Any]]] = {}
+        self._vol_shape: Optional[Tuple[int, int, int]] = None
+        self.inference_state: Optional[Dict[str, Any]] = None
+        self._config = config
+        self._mask_generator = None
+
+    # ------------------------------------------------------------------
+    # 2D segmentation
+    # ------------------------------------------------------------------
+
+    def segment_image_2d(self, image: np.ndarray, text_prompt: str = None,
+                         threshold: float = None) -> List[Dict[str, Any]]:
+        """AMG 2D segmentation (reference predictor.py:48-70)."""
+        out_rgb = image.ndim == 2
+        image = np.asarray(prep.prepare(jnp.asarray(image), to_rgb=out_rgb))
+        if self._mask_generator is None:
+            amg_cfg = self._config.amg_cfg or AMGConfig(sam2_cfg=self._config.cfg)
+            self._mask_generator = build_amg(
+                self.model, self.params, amg_cfg,
+                min_area_filter=self._config.min_mask_area)
+        return self._mask_generator.generate(image)
+
+    # ------------------------------------------------------------------
+    # Volume handling
+    # ------------------------------------------------------------------
+
+    def set_volume(self, tomogram: np.ndarray,
+                   offload_video_to_cpu: bool = False) -> None:
+        """Preprocess the whole tomogram into device frames
+        (reference predictor.py:76-116; offload flag kept for API parity —
+        frames stay in HBM unless it is set, then they stay in host RAM
+        and transfer per slab)."""
+        self._vol_shape = tomogram.shape
+        self.frame_metrics = {}
+        frames, h, w = self.preprocessor.prepare_volume(
+            np.asarray(tomogram), self.model.config.image_size)
+        if offload_video_to_cpu:
+            frames = np.asarray(frames)
+        self.inference_state = {
+            "images": frames,
+            "num_frames": tomogram.shape[0],
+            "video_height": h,
+            "video_width": w,
+            "seeds": {},            # frame_idx -> {obj_id: (S, S) float mask}
+        }
+
+    # ------------------------------------------------------------------
+    # Prompting
+    # ------------------------------------------------------------------
+
+    def _to_model_frame(self, mask: np.ndarray) -> np.ndarray:
+        size = self.model.config.image_size
+        m = np.squeeze(np.asarray(mask)).astype(np.float32)
+        if m.shape != (size, size):
+            m = np.asarray(jax.image.resize(jnp.asarray(m), (size, size),
+                                            method="nearest"))
+        return m
+
+    def add_new_mask(self, frame_idx: int, obj_id: int, mask: np.ndarray,
+                     inference_state=None) -> Tuple:
+        state = inference_state or self.inference_state
+        if state is None:
+            raise RuntimeError("Call set_volume() first.")
+        state["seeds"].setdefault(frame_idx, {})[obj_id] = self._to_model_frame(mask)
+        obj_ids = sorted(state["seeds"][frame_idx])
+        return frame_idx, obj_ids, None
+
+    def add_new_points_or_box(self, frame_idx: int, obj_id: int,
+                              inference_state=None, points=None, labels=None,
+                              box=None, **kwargs) -> Tuple:
+        """Interactive prompting: decode at one frame, store the mask as a
+        seed, and return it (torch add_new_points_or_box analog)."""
+        state = inference_state or self.inference_state
+        if state is None:
+            raise RuntimeError("Call set_volume() first.")
+        size = self.model.config.image_size
+        h, w = state["video_height"], state["video_width"]
+        sx, sy = size / w, size / h
+
+        pts, lbl = [], []
+        if points is not None:
+            points = np.asarray(points, np.float32).reshape(-1, 2)
+            labels_arr = np.asarray(labels, np.int32).reshape(-1)
+            for p, l in zip(points, labels_arr):
+                pts.append([p[0] * sx, p[1] * sy])
+                lbl.append(int(l))
+        if box is not None:
+            x0, y0, x1, y1 = np.asarray(box, np.float32).reshape(4)
+            pts = [[x0 * sx, y0 * sy], [x1 * sx, y1 * sy]] + pts
+            lbl = [2, 3] + lbl
+        if not pts:
+            raise ValueError("provide points and/or box")
+        pts.append([0.0, 0.0])
+        lbl.append(-1)
+
+        frame = self._frame_backbone(state, frame_idx)
+        masks, iou, _, _ = self.model.apply(
+            {"params": self.params}, frame,
+            jnp.asarray([pts], jnp.float32), jnp.asarray([lbl], jnp.int32),
+            multimask_output=False, method=SAM2.decode)
+        low = np.asarray(masks[0, 0])
+        full = np.asarray(jax.image.resize(jnp.asarray(low), (size, size),
+                                           method="bilinear"))
+        state["seeds"].setdefault(frame_idx, {})[obj_id] = (full > 0).astype(np.float32)
+        video_mask = np.asarray(jax.image.resize(
+            jnp.asarray(low), (h, w), method="bilinear"))[None] > 0
+        obj_ids = sorted(state["seeds"][frame_idx])
+        return frame_idx, obj_ids, video_mask
+
+    # ------------------------------------------------------------------
+    # Propagation
+    # ------------------------------------------------------------------
+
+    def _frame_backbone(self, state, frame_idx: int):
+        imgs = jnp.asarray(state["images"][frame_idx:frame_idx + 1])
+        return self.core.encode_batch(self.params, imgs)
+
+    def _seed_state(self, state, frame_idx: int):
+        seeds = state["seeds"].get(frame_idx, {})
+        if not seeds:
+            raise RuntimeError(f"no seed masks at frame {frame_idx}")
+        obj_ids = sorted(seeds)
+        masks = jnp.asarray(np.stack([seeds[i] for i in obj_ids]))
+        pstate = init_state(len(obj_ids), self.core.cfg)
+        frame = self._frame_backbone(state, frame_idx)
+        pstate, seed_logits = self.core.seed(
+            self.params, frame, masks, jnp.asarray(frame_idx), pstate)
+        return pstate, obj_ids, seed_logits
+
+    def propagate_in_video(self, start_frame_idx, max_frame_num_to_track=None,
+                           reverse=False, inference_state=None) -> Iterator:
+        """Yield (frame_idx, obj_ids, low_res_logits, video_res_masks,
+        obj_scores) per frame (reference predictor.py:182-202 contract)."""
+        state = inference_state or self.inference_state
+        pstate, obj_ids, seed_logits = self._seed_state(state, start_frame_idx)
+        h, w = state["video_height"], state["video_width"]
+        z = state["num_frames"]
+        span = max_frame_num_to_track if max_frame_num_to_track is not None else z
+
+        yield (start_frame_idx, obj_ids, np.asarray(seed_logits)[:, None],
+               np.asarray(_paint_slab(seed_logits[None], h, w))[0], None)
+
+        if reverse:
+            lo = max(0, start_frame_idx - span)
+            order = np.arange(start_frame_idx - 1, lo - 1, -1)
+            sign = -1.0
+        else:
+            hi = min(z, start_frame_idx + span + 1)
+            order = np.arange(start_frame_idx + 1, hi)
+            sign = 1.0
+
+        for s0 in range(0, len(order), self.encode_chunk):
+            idxs = order[s0:s0 + self.encode_chunk]
+            frames = self._encode_frames_at(state, idxs)
+            pstate, (low, scores) = self.core.propagate_slab(
+                self.params, pstate, frames, jnp.asarray(idxs), jnp.asarray(sign))
+            low_np = np.asarray(low)
+            scores_np = np.asarray(scores)
+            painted = np.asarray(_paint_slab(low, h, w))
+            for j, fi in enumerate(idxs):
+                yield (int(fi), obj_ids, low_np[j][:, None], painted[j],
+                       scores_np[j])
+
+    def _encode_frames_at(self, state, idxs):
+        imgs = state["images"]
+        if isinstance(imgs, np.ndarray):
+            batch = jnp.asarray(imgs[np.asarray(idxs)])
+        else:
+            batch = jnp.take(imgs, jnp.asarray(idxs), axis=0)
+        bb = self.core.encode_batch(self.params, batch)
+        return VideoCore.slab_frames(bb)
+
+    # ------------------------------------------------------------------
+    # 3D segmentation
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _normalize_masks(masks) -> List[np.ndarray]:
+        """Accept (N,H,W)/(N,1,H,W) arrays, mask-dict lists, or None."""
+        if masks is None:
+            return []
+        if isinstance(masks, np.ndarray) and masks.ndim >= 3:
+            return [np.squeeze(masks[i]).astype(np.float32)
+                    for i in range(masks.shape[0])]
+        out = []
+        for m in masks:
+            if isinstance(m, dict):
+                m = m["segmentation"]
+            out.append(np.squeeze(np.asarray(m)).astype(np.float32))
+        return out
+
+    def segment_volume(self, start_frame_idx: int, masks=None, vol_shape=None,
+                       max_frame_num_to_track=None,
+                       min_presence_score: float = 0.5,
+                       inference_state=None) -> np.ndarray:
+        """Bidirectional propagation + presence gating → (Z,H,W) uint16
+        (reference predictor.py:232-348)."""
+        state = inference_state or self.inference_state
+        if state is None:
+            raise RuntimeError("Call set_volume() before segment_volume().")
+        if vol_shape is None:
+            vol_shape = self._vol_shape
+        if vol_shape is None:
+            raise RuntimeError("vol_shape required with explicit inference_state.")
+        z, h, w = vol_shape
+
+        mask_list = self._normalize_masks(masks)
+        for obj_id, m in enumerate(mask_list, start=1):
+            if np.max(m) == 0:
+                continue
+            self.add_new_mask(start_frame_idx, obj_id, m, inference_state=state)
+
+        seeds = state["seeds"].get(start_frame_idx, {})
+        if not seeds:
+            return np.zeros((z, h, w), np.uint16)
+        obj_ids = sorted(seeds)
+        n_obj = len(obj_ids)
+
+        pstate, _, seed_logits = self._seed_state(state, start_frame_idx)
+        span = max_frame_num_to_track if max_frame_num_to_track is not None else z
+
+        vol_masks = np.zeros((z, h, w), np.uint16)
+        frame_scores = np.zeros((z, n_obj), np.float32)
+
+        vol_masks[start_frame_idx] = np.asarray(
+            _paint_slab(seed_logits[None], h, w))[0]
+        frame_scores[start_frame_idx] = 10.0  # seeded frame: object present
+
+        for reverse in (False, True):
+            if reverse:
+                lo = max(0, start_frame_idx - span)
+                order = np.arange(start_frame_idx - 1, lo - 1, -1)
+                sign = -1.0
+            else:
+                hi = min(z, start_frame_idx + span + 1)
+                order = np.arange(start_frame_idx + 1, hi)
+                sign = 1.0
+            ps = pstate
+            for s0 in range(0, len(order), self.encode_chunk):
+                idxs = order[s0:s0 + self.encode_chunk]
+                frames = self._encode_frames_at(state, idxs)
+                ps, (low, scores) = self.core.propagate_slab(
+                    self.params, ps, frames, jnp.asarray(idxs), jnp.asarray(sign))
+                painted = np.asarray(_paint_slab(low, h, w))
+                vol_masks[idxs] = painted
+                frame_scores[idxs] = np.asarray(scores)[:, :, 0]
+
+        # presence-curve gating (reference predictor.py:322-346)
+        self.frame_metrics = {}
+        boundaries = thickness.fit_organelle_boundaries(frame_scores)
+        for fidx in range(z):
+            self.frame_metrics[fidx] = {}
+            for k, obj_id in enumerate(obj_ids):
+                score = float(boundaries[fidx, k])
+                self.frame_metrics[fidx][obj_id] = {"presence_score": score}
+                if score < min_presence_score:
+                    vol_masks[fidx][vol_masks[fidx] == obj_id] = 0
+
+        return vol_masks.astype(np.uint16)
+
+    # ------------------------------------------------------------------
+    # State management
+    # ------------------------------------------------------------------
+
+    def reset_state(self, inference_state=None) -> None:
+        """Clear prompt/seed state; frame_metrics survive (the reference's
+        reset delegates to the torch predictor and leaves them too)."""
+        state = inference_state or self.inference_state
+        if state is not None:
+            state["seeds"] = {}
+
+    def clear_all_prompts_in_frame(self, frame_idx: int, *args, **kwargs):
+        if self.inference_state is not None:
+            self.inference_state["seeds"].pop(frame_idx, None)
+
+    def remove_object(self, obj_id: int, *args, **kwargs):
+        if self.inference_state is not None:
+            for seeds in self.inference_state["seeds"].values():
+                seeds.pop(obj_id, None)

@@ -1,0 +1,118 @@
+"""Seed-and-propagate segmenter for FIB-SEM / light-microscopy movies
+(reference saber/segmenters/propagation.py).
+
+Seeds every ``ini_depth``-th slice with 2D masks, propagates each seed set
+±``nframes`` through the volume, merges by element-wise max; a multiclass
+variant keeps the per-voxel argmax-confidence class; ``slice_by_slice`` is
+the no-propagation fallback. Fixes the reference's broken
+``segment_image_2d(target_class=...)`` call in multiclass mode
+(SURVEY.md §6b) by routing classification through the classifier directly.
+"""
+
+from typing import Optional
+
+import numpy as np
+
+from saber_tpu.config import AdapterConfig, AMGConfig
+from saber_tpu.ops import preprocessing
+from saber_tpu.segmenters import utils
+from saber_tpu.segmenters.base import saber3D
+
+
+class propagationSegmenter(saber3D):
+    def __init__(self, deviceID: int = 0, cfg: Optional[AdapterConfig] = None,
+                 amg_cfg: Optional[AMGConfig] = None, min_mask_area: int = 100,
+                 min_rel_box_size: float = 0.025):
+        self.min_rel_box_size = min_rel_box_size
+        super().__init__(deviceID=deviceID, cfg=cfg, amg_cfg=amg_cfg,
+                         min_mask_area=min_mask_area)
+        self.ini_depth = 10
+        self.display = False
+
+    def segment_3d(self, vol, masks, ann_frame_idx: int = None):
+        """Propagate 2D seed masks through the volume (propagation.py:41-65)."""
+        if not self._vol_loaded:
+            self.video_predictor.set_volume(vol)
+            self._vol_loaded = True
+        self.masks = masks
+        nx = vol.shape[0]
+        ny, nz = masks[0].shape[:2]
+        self.ann_frame_idx = (ann_frame_idx if ann_frame_idx is not None
+                              else nx // 2)
+        return self.propagate((nx, ny, nz))
+
+    def segment(self, volume: np.ndarray, ini_depth: int, nframes: int = None,
+                target_class: int = 1, text_prompt: str = None,
+                display: bool = False):
+        self.ini_depth = ini_depth
+        self.nframes = nframes
+        self.target_class = target_class
+        self.display = display
+        if target_class > 0 or self.classifier is None:
+            return self.single_segment(volume, text_prompt=text_prompt)
+        return self.multiclass_segment(volume)
+
+    def single_segment(self, volume: np.ndarray, text_prompt: str = None):
+        """Seed every ini_depth slices, propagate, max-merge
+        (propagation.py:92-118)."""
+        final = np.zeros(volume.shape, dtype=np.uint16)
+        for ii in range(2, volume.shape[0], self.ini_depth):
+            masks = self.segment_image(volume[ii], display=False,
+                                       target_class=self.target_class,
+                                       text_prompt=text_prompt)
+            if len(masks) == 0:
+                continue
+            mask_list = [m["segmentation"] for m in masks]
+            masks3d = self.segment_3d(volume, mask_list, ann_frame_idx=ii)
+            if self.target_class > 0:
+                masks3d = (masks3d > 0).astype(np.uint8)
+            np.maximum(final, masks3d, out=final)
+        return utils.separate_masks(final)
+
+    def multiclass_segment(self, volume: np.ndarray):
+        """Per-voxel argmax-confidence multiclass merge
+        (propagation.py:120-161)."""
+        final = np.zeros(volume.shape, dtype=np.uint16)
+        max_conf = np.zeros(volume.shape, dtype=np.float32)
+        for ii in range(2, volume.shape[0], self.ini_depth):
+            im = np.asarray(preprocessing.prepare(volume[ii], to_rgb=True))
+            raw = self.adapter.segment_image_2d(im)
+            raw = [m for m in raw if m["area"] >= self.min_mask_area]
+            if len(raw) == 0:
+                continue
+            mask_arrays = np.array([m["segmentation"].astype(np.uint8)
+                                    for m in raw])
+            predictions = self.classifier.batch_predict(
+                im[:, :, 0], mask_arrays, self.batchsize)
+            predicted = np.argmax(predictions, axis=1)
+            valid = predicted > 0
+            if not np.any(valid):
+                continue
+            mask_list = [raw[i]["segmentation"]
+                         for i, ok in enumerate(valid) if ok]
+            vpred = predictions[valid]
+            vcls = predicted[valid]
+            masks3d = self.segment_3d(volume, mask_list, ann_frame_idx=ii)
+            for idx, (probs, class_id) in enumerate(zip(vpred, vcls)):
+                region = masks3d == (idx + 1)
+                if np.any(region):
+                    conf = probs[class_id]
+                    update = region & (conf > max_conf)
+                    final[update] = class_id
+                    max_conf[update] = conf
+        return final
+
+    def slice_by_slice(self, volume: np.ndarray, text_prompt: str):
+        """2D-only fallback (propagation.py:163-189)."""
+        final = np.zeros(volume.shape, dtype=np.uint16)
+        scratch = np.zeros(volume.shape[1:], dtype=np.uint16)
+        for ii in range(volume.shape[0]):
+            masks = self.segment_image(volume[ii], display=False,
+                                       text_prompt=text_prompt)
+            if len(masks) == 0:
+                continue
+            for idx, m in enumerate(masks):
+                scratch[m["segmentation"]] = idx + 1
+            np.maximum(final[ii], scratch, out=final[ii])
+            scratch[:] = 0
+        return utils.separate_masks(final)

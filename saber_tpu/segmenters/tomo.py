@@ -1,0 +1,124 @@
+"""Tomogram segmenters (reference saber/segmenters/tomo.py).
+
+``segment_slab``: Gaussian z-smooth (σ=5) → normalize → mean-project a
+±thickness slab → 2D AMG+classifier segmentation. ``segment_vol``: slab
+seg → adapter.set_volume → bidirectional propagation.
+``multiDepthTomoSegmenter``: re-seed at ``num_slabs`` centers spaced
+``delta_z``, merge by max, 3D connected components.
+"""
+
+from typing import Optional
+
+import numpy as np
+
+from saber_tpu.config import AdapterConfig, AMGConfig
+from saber_tpu.ops import preprocessing as preprocess
+from saber_tpu.ops.gaussian import gaussian_smoothing
+from saber_tpu.segmenters import utils
+from saber_tpu.segmenters.base import saber3D
+
+
+class tomoSegmenter(saber3D):
+    def __init__(self, deviceID: int = 0, cfg: Optional[AdapterConfig] = None,
+                 amg_cfg: Optional[AMGConfig] = None, min_mask_area: int = 50):
+        super().__init__(deviceID=deviceID, cfg=cfg, amg_cfg=amg_cfg,
+                         min_mask_area=min_mask_area)
+        self.filter_threshold = 0.5
+        self.vol = None
+        self.image0 = None
+        self.is_tomogram_mode = False
+
+    def segment_slab(self, vol, slab_thickness: int = 10,
+                     zSlice: Optional[int] = None, display: bool = True,
+                     text: Optional[str] = None,
+                     target_class: Optional[int] = 1):
+        """Smooth/project/segment one slab (reference tomo.py:32-61)."""
+        self.vol = np.asarray(gaussian_smoothing(np.asarray(vol), 5, dim=0))
+        self.vol = np.asarray(preprocess.normalize(self.vol))
+        if zSlice is None:
+            zSlice = int(self.vol.shape[0] // 2)
+        self.image0 = np.asarray(
+            preprocess.project_tomogram(self.vol, zSlice, slab_thickness))
+        self.segment_image(self.image0, display=display, text_prompt=text,
+                           target_class=target_class)
+        return self.masks
+
+    def segment(self, vol, thickness: int = 10, zSlice: int = None,
+                text: Optional[str] = None, target_class: Optional[int] = 1,
+                save_run: str = None, display: bool = False):
+        return self.segment_vol(vol, thickness, zSlice, text, target_class,
+                                save_run, display)
+
+    def segment_vol(self, vol, thickness: int, zSlice: int = None,
+                    text: Optional[str] = None, target_class: Optional[int] = 1,
+                    save_run: str = None, display: bool = False):
+        """Slab seg → volumetric propagation (reference tomo.py:81-139)."""
+        self.is_tomogram_mode = True
+        self.segment_slab(vol, thickness, zSlice, display=False, text=text,
+                          target_class=target_class)
+
+        if not display and save_run is not None:
+            from saber_tpu.visualization import results as cryoviz
+            cryoviz.save_slab_seg(save_run, self.image, self.masks)
+
+        if len(self.masks) == 0:
+            return None
+
+        if not self._vol_loaded:
+            self.video_predictor.set_volume(self.vol)
+            self._vol_loaded = True
+
+        nx = self.vol.shape[0]
+        ny, nz = self.masks[0]["segmentation"].shape[:2]
+        self.ann_frame_idx = zSlice if zSlice is not None else nx // 2
+        vol_masks = self.propagate((nx, ny, nz))
+
+        if display:
+            from saber_tpu.visualization import results as cryoviz
+            cryoviz.view_3d_seg(self.vol, vol_masks)
+        return vol_masks
+
+
+class multiDepthTomoSegmenter(tomoSegmenter):
+    """Re-seed at several depths and merge (reference tomo.py:162-253)."""
+
+    def __init__(self, deviceID: int = 0, cfg: Optional[AdapterConfig] = None,
+                 amg_cfg: Optional[AMGConfig] = None, target_class: int = 1,
+                 min_mask_area: int = 100, min_rel_box_size: float = 0.025):
+        self.min_rel_box_size = min_rel_box_size
+        self.target_class = target_class
+        super().__init__(deviceID=deviceID, cfg=cfg, amg_cfg=amg_cfg,
+                         min_mask_area=min_mask_area)
+        if target_class < 1:
+            raise ValueError(
+                "Multi-Depth Tomogram Segmenter only supports single-class "
+                "segmentation currently.")
+        self.show_segments = False
+
+    def segment(self, vol, thickness: int, num_slabs: int = 3,
+                delta_z: int = 30, save_run: str = None, display: bool = False):
+        self.show_segments = display
+        if self.target_class > 0 or self.classifier is None:
+            return self.single_segment(vol, thickness, num_slabs, delta_z)
+        raise NotImplementedError("Multiclass segmentation is not implemented yet")
+
+    def single_segment(self, vol, thickness, num_slabs, delta_z):
+        """Per-slab propagation merged by max (reference tomo.py:205-253)."""
+        depth = vol.shape[0]
+        center = depth // 2
+        combined = np.zeros(vol.shape, dtype=np.uint16)
+        for i in range(num_slabs):
+            offset = (i - num_slabs // 2) * delta_z
+            slab_center = int(center + offset)
+            if slab_center < 0 or slab_center >= depth:
+                continue
+            masks3d = self.segment_vol(vol, thickness, zSlice=slab_center,
+                                       display=False)
+            if masks3d is None:
+                continue
+            np.maximum(combined, (masks3d > 0).astype(np.uint16), out=combined)
+        combined = utils.separate_masks(combined)
+        if self.show_segments:
+            from saber_tpu.visualization import results as cryoviz
+            cryoviz.view_3d_seg(vol, combined)
+        return combined
