@@ -1,0 +1,141 @@
+"""Classifier subsystem tests: loss/metrics oracles, end-to-end training
+on synthetic zarr data (single and mesh data-parallel), predictor
+round-trip through model_config.yaml → SAM2AdapterConfig derivation."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from saber_tpu.classifier.crop import crop_and_resize_adaptive
+from saber_tpu.classifier.datasets import TrainTransform, ZarrSegmentationDataset, batch_iterator
+from saber_tpu.classifier.losses import classification_metrics, focal_loss
+from saber_tpu.classifier.predictor import Predictor
+from saber_tpu.classifier.trainer import ClassifierTrainer
+from saber_tpu.config import SAM2AdapterConfig
+from saber_tpu.utils import zarrlite
+
+
+def test_focal_loss_matches_ce_at_gamma0():
+    logits = jnp.asarray([[2.0, 0.0, -1.0], [0.5, 1.5, 0.0]])
+    labels = jnp.asarray([0, 1])
+    fl = focal_loss(logits, labels, gamma=0.0, alpha=1.0)
+    lp = jax.nn.log_softmax(logits)
+    ce = -(lp[0, 0] + lp[1, 1]) / 2
+    np.testing.assert_allclose(float(fl), float(ce), rtol=1e-6)
+
+
+def test_focal_downweights_easy():
+    easy = jnp.asarray([[10.0, -10.0]])
+    hard = jnp.asarray([[0.1, 0.0]])
+    lbl = jnp.asarray([0])
+    assert float(focal_loss(easy, lbl)) < float(focal_loss(hard, lbl))
+
+
+def test_metrics_perfect_and_mixed():
+    m = classification_metrics(np.array([0, 1, 2]), np.array([0, 1, 2]), 3)
+    assert m["macro_f1"] == 1.0 and m["accuracy"] == 1.0
+    m = classification_metrics(np.array([0, 0, 2]), np.array([0, 1, 2]), 3)
+    assert 0 < m["macro_f1"] < 1.0
+
+
+def test_adaptive_crop_centers_mask(rng):
+    img = rng.standard_normal((200, 200)).astype(np.float32)
+    mask = np.zeros((200, 200), np.float32)
+    mask[50:80, 120:150] = 1
+    ci, cm = crop_and_resize_adaptive(img, mask, crop_size=64)
+    assert ci.shape == (64, 64) and cm.shape == (64, 64)
+    ys, xs = np.nonzero(cm > 0.5)
+    # mask roughly centered in the crop
+    assert abs(ys.mean() - 32) < 10 and abs(xs.mean() - 32) < 10
+
+
+def _make_training_zarr(path, rng, n_runs=4, size=96):
+    """Synthetic annotated zarr: bright squares = class 1, rejected = noise."""
+    root = zarrlite.open_group(str(path), "w")
+    root.attrs["labels"] = {"1": "square"}
+    root.attrs["amg"] = {"npoints": 8, "sam2_cfg": "tiny"}
+    for r in range(n_runs):
+        img = rng.standard_normal((size, size)).astype(np.float32) * 0.2
+        pos = np.zeros((size, size), np.uint8)
+        y, x = rng.integers(10, size - 40, 2)
+        img[y:y + 25, x:x + 25] += 2.0
+        pos[y:y + 25, x:x + 25] = 1
+        neg = np.zeros((size, size), np.uint8)
+        y2, x2 = rng.integers(10, size - 40, 2)
+        neg[y2:y2 + 12, x2:x2 + 12] = 1
+        grp = root.create_group(f"run_{r}")
+        grp.create_dataset("0", data=img)
+        lab = grp.create_group("labels")
+        lab.create_dataset("0", data=pos)
+        lab.create_dataset("rejected", data=neg)
+    return str(path)
+
+
+def test_zarr_dataset_indexing(tmp_path, rng):
+    p = _make_training_zarr(tmp_path / "train.zarr", rng)
+    ds = ZarrSegmentationDataset(p)
+    assert len(ds) == 8  # 4 positives + 4 rejected components
+    labels = sorted({int(ds[i]["label"]) for i in range(len(ds))})
+    assert labels == [0, 1]
+    s = ds[0]
+    assert s["image"].shape == (96, 96)
+    assert s["mask"].dtype == np.float32
+    assert ds.num_classes == 2
+
+
+def test_convnext_training_learns(tmp_path, rng):
+    """ConvNeXt head separates bright squares from small rejects."""
+    p = _make_training_zarr(tmp_path / "train.zarr", rng, n_runs=6)
+    ds = ZarrSegmentationDataset(p, TrainTransform(crop_size=64, seed=0))
+    trainer = ClassifierTrainer(
+        "ConvNeXt", 2, num_epochs=4, results_dir=str(tmp_path / "res"),
+        use_ema=False, steps_per_epoch_hint=3)
+    loader = lambda: batch_iterator(ds, 4, seed=1)
+    hist = trainer.train(loader, val_loader=loader,
+                         labels={"1": "square"}, amg_params={"npoints": 8})
+    assert len(hist["train_loss"]) == 4
+    assert hist["train_loss"][-1] < hist["train_loss"][0] * 1.5  # not diverging
+    assert (tmp_path / "res" / "best_model.msgpack").exists()
+    assert (tmp_path / "res" / "model_config.yaml").exists()
+
+
+def test_mesh_trainer_runs_on_virtual_devices(tmp_path, rng):
+    """Data-parallel training over the 8-device CPU mesh (DDP analog)."""
+    p = _make_training_zarr(tmp_path / "train.zarr", rng, n_runs=4)
+    ds = ZarrSegmentationDataset(p, TrainTransform(crop_size=64, seed=0))
+    assert len(jax.devices()) == 8
+    trainer = ClassifierTrainer(
+        "ConvNeXt", 2, num_epochs=1, results_dir=str(tmp_path / "res"),
+        devices=jax.devices(), use_ema=False)
+    loader = lambda: batch_iterator(ds, 8, seed=1)
+    hist = trainer.train(loader, labels={}, amg_params={})
+    assert len(hist["train_loss"]) == 1
+    assert np.isfinite(hist["train_loss"][0])
+
+
+def test_predictor_roundtrip_and_config_derivation(tmp_path, rng):
+    p = _make_training_zarr(tmp_path / "train.zarr", rng, n_runs=3)
+    ds = ZarrSegmentationDataset(p, TrainTransform(crop_size=64, seed=0))
+    trainer = ClassifierTrainer(
+        "ConvNeXt", 2, num_epochs=1, results_dir=str(tmp_path / "res"),
+        use_ema=False)
+    trainer.train(lambda: batch_iterator(ds, 4),
+                  labels={"1": "square"},
+                  amg_params={"npoints": 8, "pred_iou_thresh": 0.6})
+
+    pred = Predictor(str(tmp_path / "res"))
+    img = rng.standard_normal((96, 96)).astype(np.float32)
+    masks = np.zeros((2, 96, 96), np.uint8)
+    masks[0, 10:50, 10:50] = 1           # big enough
+    masks[1, 0:5, 0:5] = 1               # below MIN_AREA → background
+    probs = pred.batch_predict(img, masks, batchsize=4)
+    assert probs.shape == (2, 2)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(probs[1], [1.0, 0.0], atol=1e-6)
+
+    # the trained-classifier → adapter-config loop (reference base.py:19-26)
+    cfg = SAM2AdapterConfig(classifier=pred)
+    assert cfg.amg_cfg.npoints == 8
+    assert cfg.amg_cfg.pred_iou_thresh == 0.6
+    assert cfg.cfg == "tiny"
