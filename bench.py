@@ -66,7 +66,10 @@ def main():
             state, (low, scores) = core.propagate_slab(
                 params, state, fr, idx, jnp.asarray(1.0))
             outs.append(low)
-        jax.block_until_ready(outs[-1])
+        # force full execution with a host transfer (block_until_ready is
+        # not reliable on the experimental remote-TPU platform)
+        checksum = float(np.asarray(jnp.sum(outs[-1])))
+        assert np.isfinite(checksum)
         return outs
 
     run_volume()  # compile warmup
