@@ -1,0 +1,63 @@
+"""`saber segment fib` — FIB-SEM stack propagation workflow
+(reference saber/entry_points/run_fib_segment.py:27-99)."""
+
+from typing import Optional
+
+import click
+import numpy as np
+
+from saber_tpu.config import AMGConfig, SAM2AdapterConfig
+from saber_tpu.segmenters.propagation import propagationSegmenter
+from saber_tpu.utils.io import read_movie
+
+
+def run_fib_segment(input: str, output: str = "fib_masks.npy",
+                    sam2_cfg: str = "small",
+                    model_config: Optional[str] = None,
+                    model_weights: Optional[str] = None,
+                    target_class: int = 1, ini_depth: int = 10,
+                    nframes: Optional[int] = None,
+                    target_resolution: Optional[float] = None,
+                    input_resolution: Optional[float] = None,
+                    min_mask_area: int = 100, save_movie: bool = True):
+    vol = read_movie(input, target_resolution, input_resolution)
+
+    classifier = None
+    if model_config is not None:
+        from saber_tpu.classifier.predictor import Predictor
+        classifier = Predictor(model_config, model_weights)
+        cfg = SAM2AdapterConfig(classifier=classifier,
+                                min_mask_area=min_mask_area)
+    else:
+        cfg = SAM2AdapterConfig(cfg=sam2_cfg,
+                                amg_cfg=AMGConfig(sam2_cfg=sam2_cfg),
+                                min_mask_area=min_mask_area)
+
+    seg = propagationSegmenter(cfg=cfg, min_mask_area=min_mask_area)
+    masks = seg.segment(vol, ini_depth=ini_depth, nframes=nframes,
+                        target_class=target_class)
+    np.save(output, masks)
+    if save_movie:
+        from saber_tpu.visualization.results import export_movie
+        export_movie(vol, masks, output.replace(".npy", ".gif"))
+    return masks
+
+
+@click.command(name="fib")
+@click.option("--input", required=True, help="TIFF glob or stack directory")
+@click.option("--output", default="fib_masks.npy", show_default=True)
+@click.option("--sam2-cfg", default="small", show_default=True,
+              type=click.Choice(["tiny", "small", "base", "large"]))
+@click.option("--model-config", default=None)
+@click.option("--model-weights", default=None)
+@click.option("--target-class", default=1, show_default=True)
+@click.option("--ini-depth", default=10, show_default=True,
+              help="stride between seed slices")
+@click.option("--nframes", type=int, default=None,
+              help="propagation window around each seed")
+@click.option("--target-resolution", type=float, default=None)
+@click.option("--input-resolution", type=float, default=None)
+@click.option("--min-mask-area", default=100, show_default=True)
+def fib(**kwargs):
+    """Segment FIB-SEM stacks by seed-and-propagate."""
+    run_fib_segment(**kwargs)

@@ -1,0 +1,127 @@
+"""`saber segment tomograms` + `slab` — the flagship 3D batch workflow
+(reference saber/entry_points/run_tomogram_segment.py:7-357).
+
+Batch runs fan out over all local chips via DevicePool with per-device
+segmenter replicas (loaders.tomogram_workflow); a single run id switches
+to the interactive branch (reference :208-223)."""
+
+import os
+from typing import Optional
+
+import click
+import numpy as np
+
+from saber_tpu.entry_points.inference_core import segment_tomogram_core
+from saber_tpu.parallel.pool import DevicePool
+from saber_tpu.segmenters.loaders import tomogram_workflow
+from saber_tpu.utils import zarr_writer
+from saber_tpu.utils.io import save_copick_metadata
+from saber_tpu.utils.runs import discover_runs
+from saber_tpu.visualization.galleries import convert_zarr_to_gallery
+
+
+def run_tomo_seg(input: str, output: str = "segmentations.zarr",
+                 voxel_size: Optional[float] = None, run_ids: Optional[str] = None,
+                 sam2_cfg: str = "small", model_config: Optional[str] = None,
+                 model_weights: Optional[str] = None, target_class: int = 1,
+                 slab_thickness: int = 10, num_slabs: int = 1, delta_z: int = 30,
+                 min_mask_area: int = 50, session_id: str = "0",
+                 display: bool = False, num_devices: Optional[int] = None,
+                 gallery: bool = True):
+    """Batch 3D segmentation over all runs in `input`."""
+    runs = discover_runs(input, voxel_size=voxel_size, run_ids=run_ids)
+    if not runs:
+        raise click.ClickException(f"no runs found in {input}")
+
+    writer = zarr_writer.get_zarr_writer(output)
+    save_copick_metadata(os.path.splitext(output)[0] + "_metadata.yaml", {
+        "input": input, "voxel_size": voxel_size, "sam2_cfg": sam2_cfg,
+        "model_config": model_config, "target_class": target_class,
+        "slab_thickness": slab_thickness, "num_slabs": num_slabs,
+        "delta_z": delta_z, "session_id": session_id,
+    })
+
+    if len(runs) == 1 and display:
+        models = tomogram_workflow(0, sam2_cfg, model_config, model_weights,
+                                   min_mask_area, num_slabs, target_class)
+        segment_tomogram_core(runs[0], models["segmenter"], writer,
+                              slab_thickness, num_slabs, delta_z,
+                              target_class, display_segmentation=True,
+                              segmentation_session_id=session_id)
+        return None
+
+    pool = DevicePool(
+        init_fn=lambda i: tomogram_workflow(
+            i, sam2_cfg, model_config, model_weights, min_mask_area,
+            num_slabs, target_class),
+        num_devices=num_devices, verbose=True)
+
+    def work(run, device_id, models):
+        return segment_tomogram_core(
+            run, models["segmenter"], writer, slab_thickness, num_slabs,
+            delta_z, target_class, display_segmentation=False,
+            segmentation_session_id=session_id, device_id=device_id)
+
+    results = pool.execute(work, runs)
+    if gallery:
+        convert_zarr_to_gallery(output)
+    return results
+
+
+@click.command(name="tomograms")
+@click.option("--input", required=True,
+              help="MRC directory, zarr, or single tomogram")
+@click.option("--output", default="segmentations.zarr", show_default=True)
+@click.option("--voxel-size", type=float, default=None,
+              help="Fourier-rescale tomograms to this voxel size (Å)")
+@click.option("--run-ids", default=None, help="comma-separated run subset")
+@click.option("--sam2-cfg", default="small", show_default=True,
+              type=click.Choice(["tiny", "small", "base", "large"]))
+@click.option("--model-config", default=None,
+              help="trained classifier model_config.yaml")
+@click.option("--model-weights", default=None)
+@click.option("--target-class", default=1, show_default=True)
+@click.option("--slab-thickness", default=10, show_default=True)
+@click.option("--num-slabs", default=1, show_default=True)
+@click.option("--delta-z", default=30, show_default=True)
+@click.option("--min-mask-area", default=50, show_default=True)
+@click.option("--session-id", default="0", show_default=True)
+@click.option("--display", is_flag=True)
+@click.option("--num-devices", type=int, default=None)
+def tomograms(**kwargs):
+    """Zero-shot / classifier-filtered 3D segmentation of tomograms."""
+    run_tomo_seg(**kwargs)
+
+
+@click.command(name="slab")
+@click.option("--input", required=True)
+@click.option("--output", default="slab_segmentation.zarr", show_default=True)
+@click.option("--voxel-size", type=float, default=None)
+@click.option("--run-ids", default=None)
+@click.option("--sam2-cfg", default="small", show_default=True,
+              type=click.Choice(["tiny", "small", "base", "large"]))
+@click.option("--model-config", default=None)
+@click.option("--model-weights", default=None)
+@click.option("--target-class", default=1, show_default=True)
+@click.option("--slab-thickness", default=10, show_default=True)
+@click.option("--z-slice", type=int, default=None)
+@click.option("--min-mask-area", default=50, show_default=True)
+def slab(input, output, voxel_size, run_ids, sam2_cfg, model_config,
+         model_weights, target_class, slab_thickness, z_slice, min_mask_area):
+    """2D slab-projection segmentation only (no 3D propagation)."""
+    from saber_tpu.ops.masks import masks_to_array
+    from saber_tpu.segmenters.loaders import tomogram_workflow
+
+    runs = discover_runs(input, voxel_size=voxel_size, run_ids=run_ids)
+    writer = zarr_writer.get_zarr_writer(output)
+    models = tomogram_workflow(0, sam2_cfg, model_config, model_weights,
+                               min_mask_area, 1, target_class)
+    seg = models["segmenter"]
+    for run in runs:
+        vol, pix = run.get_volume()
+        masks = seg.segment_slab(vol, slab_thickness, z_slice, display=False,
+                                 target_class=target_class)
+        arr = masks_to_array(masks)
+        if arr is not None and arr.size:
+            writer.write(run.name, np.asarray(seg.image0), arr, pixel_size=pix)
+    convert_zarr_to_gallery(output)

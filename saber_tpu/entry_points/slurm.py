@@ -1,0 +1,62 @@
+"""SLURM submission verbs (reference saber/entry_points/slurm.py:11-91):
+write an sbatch script wrapping the equivalent saber command."""
+
+import shlex
+
+import click
+
+from saber_tpu.utils.slurm_submit import create_shellsubmit
+
+
+def _passthrough_command(base: str, opts: dict) -> str:
+    parts = [base]
+    for k, v in opts.items():
+        if v is None or v is False:
+            continue
+        flag = "--" + k.replace("_", "-")
+        if v is True:
+            parts.append(flag)
+        else:
+            parts.append(f"{flag} {shlex.quote(str(v))}")
+    return " ".join(parts)
+
+
+@click.command(name="tomograms")
+@click.option("--input", required=True)
+@click.option("--output", default="segmentations.zarr", show_default=True)
+@click.option("--sam2-cfg", default="small", show_default=True)
+@click.option("--model-config", default=None)
+@click.option("--model-weights", default=None)
+@click.option("--num-chips", default=8, show_default=True)
+@click.option("--partition", default="tpu", show_default=True)
+@click.option("--walltime", default="18:00:00", show_default=True)
+@click.option("--shell-name", default="submit_tomograms.sh", show_default=True)
+def tomograms_slurm(input, output, sam2_cfg, model_config, model_weights,
+                    num_chips, partition, walltime, shell_name):
+    """Generate an sbatch script for batch tomogram segmentation."""
+    cmd = _passthrough_command("saber segment tomograms", {
+        "input": input, "output": output, "sam2_cfg": sam2_cfg,
+        "model_config": model_config, "model_weights": model_weights})
+    path = create_shellsubmit("saber-tomo", "saber-tomo-%j.out", shell_name,
+                              cmd, partition=partition, num_chips=num_chips,
+                              walltime=walltime)
+    click.echo(f"wrote {path}; submit with: sbatch {path}")
+
+
+@click.command(name="micrographs")
+@click.option("--input", required=True)
+@click.option("--output", default="micrographs.zarr", show_default=True)
+@click.option("--sam2-cfg", default="small", show_default=True)
+@click.option("--num-chips", default=8, show_default=True)
+@click.option("--partition", default="tpu", show_default=True)
+@click.option("--walltime", default="18:00:00", show_default=True)
+@click.option("--shell-name", default="submit_micrographs.sh", show_default=True)
+def micrographs_slurm(input, output, sam2_cfg, num_chips, partition, walltime,
+                      shell_name):
+    """Generate an sbatch script for batch micrograph segmentation."""
+    cmd = _passthrough_command("saber segment micrographs", {
+        "input": input, "output": output, "sam2_cfg": sam2_cfg})
+    path = create_shellsubmit("saber-micro", "saber-micro-%j.out", shell_name,
+                              cmd, partition=partition, num_chips=num_chips,
+                              walltime=walltime)
+    click.echo(f"wrote {path}; submit with: sbatch {path}")

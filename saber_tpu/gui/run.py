@@ -1,0 +1,31 @@
+"""GUI launch commands (reference saber/gui/run.py).
+
+``web`` runs the dependency-free browser annotator; ``gui`` launches the
+Qt annotation tool and is gated on PyQt5 (optional extra, reference
+README.md:30-34)."""
+
+import click
+
+
+@click.command(name="web")
+@click.option("--input", required=True, help="candidate-mask zarr")
+@click.option("--host", default="127.0.0.1", show_default=True)
+@click.option("--port", default=8080, show_default=True)
+def web(input, host, port):
+    """Launch the browser-based annotation server (SSH-tunnel the port for
+    remote/HPC use)."""
+    from saber_tpu.gui.web.server import run_server
+    run_server(input, host, port)
+
+
+@click.command(name="gui")
+@click.option("--input", required=True, help="candidate-mask zarr")
+def gui(input):
+    """Launch the Qt annotation GUI (requires PyQt5)."""
+    try:
+        from saber_tpu.gui.base.zarr_gui import launch_gui
+    except ImportError as e:
+        raise click.ClickException(
+            "The Qt GUI requires PyQt5 (pip install saber-tpu[gui]); use "
+            "`saber web` for the browser annotator instead.") from e
+    launch_gui(input)

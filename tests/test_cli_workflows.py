@@ -1,0 +1,206 @@
+"""CLI + workflow tests: command tree, batch tomogram/micrograph
+workflows over synthetic MRC inputs, web annotation server round trip,
+classifier prep/label/split pipeline."""
+
+import json
+import os
+import urllib.request
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from saber_tpu.utils import zarrlite
+from saber_tpu.utils.io import write_mrc
+
+
+@pytest.fixture(scope="module")
+def cli():
+    from saber_tpu.main import routines
+    return routines
+
+
+def test_command_tree(cli):
+    runner = CliRunner()
+    out = runner.invoke(cli, ["--help"])
+    assert out.exit_code == 0
+    for grp in ("segment", "classifier", "analysis", "save", "web", "slurm"):
+        assert grp in out.output
+    out = runner.invoke(cli, ["segment", "--help"])
+    for cmd in ("tomograms", "micrographs", "slab", "fib", "light"):
+        assert cmd in out.output
+    out = runner.invoke(cli, ["classifier", "--help"])
+    for cmd in ("train", "predict", "evaluate", "prep2d", "prep3d", "split",
+                "label", "info"):
+        assert cmd in out.output
+
+
+def test_slurm_script_generation(cli, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    runner = CliRunner()
+    out = runner.invoke(cli, ["slurm", "tomograms", "--input", "/data/t",
+                              "--shell-name", "sub.sh"])
+    assert out.exit_code == 0, out.output
+    script = open("sub.sh").read()
+    assert "saber segment tomograms" in script
+    assert "--input /data/t" in script
+    assert "#SBATCH" in script
+
+
+@pytest.fixture()
+def mrc_dir(tmp_path, rng):
+    d = tmp_path / "tomos"
+    d.mkdir()
+    for i in range(2):
+        vol = rng.standard_normal((8, 64, 64)).astype(np.float32) * 0.1
+        vol[:, 20:40, 20:40] += 2.0
+        write_mrc(str(d / f"tomo_{i}.mrc"), vol, pixel_size=10.0)
+    return str(d)
+
+
+def test_tomogram_batch_workflow(mrc_dir, tmp_path, monkeypatch):
+    """End-to-end `segment tomograms` over 2 synthetic runs."""
+    monkeypatch.chdir(tmp_path)
+    from saber_tpu.entry_points.run_tomogram_segment import run_tomo_seg
+    import saber_tpu.segmenters.loaders as loaders
+    from saber_tpu.config import AMGConfig
+
+    # shrink the model for CPU testing
+    orig = loaders._adapter_cfg
+
+    def small_cfg(sam2_cfg, classifier, min_mask_area, image_size=1024):
+        cfg = orig(sam2_cfg, classifier, min_mask_area, image_size=128)
+        cfg.amg_cfg = AMGConfig(npoints=4, points_per_batch=8,
+                                pred_iou_thresh=0.05,
+                                stability_score_thresh=0.0,
+                                crop_n_layers=0, use_m2m=False, max_masks=8)
+        cfg.cfg = "tiny"
+        cfg.dtype = "float32"
+        return cfg
+
+    monkeypatch.setattr(loaders, "_adapter_cfg", small_cfg)
+    out = run_tomo_seg(mrc_dir, output=str(tmp_path / "segs.zarr"),
+                       slab_thickness=2, num_devices=1, gallery=True)
+    assert out["summary"]["total"] == 2
+    assert out["summary"]["failed"] == 0, out["results"]
+    root = zarrlite.Group(str(tmp_path / "segs.zarr"))
+    runs = list(root.keys())
+    assert len(runs) == 2
+    # gallery pages written
+    gallery_dir = str(tmp_path / "segs_gallery")
+    assert os.path.isdir(gallery_dir) and os.listdir(gallery_dir)
+    # metadata audit log
+    assert os.path.exists(str(tmp_path / "segs_metadata.yaml"))
+
+
+def test_micrograph_batch_workflow(tmp_path, monkeypatch, rng):
+    monkeypatch.chdir(tmp_path)
+    d = tmp_path / "micros"
+    d.mkdir()
+    for i in range(2):
+        img = rng.standard_normal((64, 64)).astype(np.float32) * 0.1
+        img[16:48, 16:48] += 2.0
+        write_mrc(str(d / f"m_{i}.mrc"), img, pixel_size=4.0)
+
+    import saber_tpu.segmenters.loaders as loaders
+    from saber_tpu.config import AMGConfig
+    orig = loaders._adapter_cfg
+
+    def small_cfg(sam2_cfg, classifier, min_mask_area, image_size=1024):
+        cfg = orig(sam2_cfg, classifier, min_mask_area, image_size=128)
+        cfg.amg_cfg = AMGConfig(npoints=4, points_per_batch=8,
+                                pred_iou_thresh=0.05,
+                                stability_score_thresh=0.0,
+                                crop_n_layers=0, use_m2m=False, max_masks=8)
+        cfg.cfg = "tiny"
+        cfg.dtype = "float32"
+        return cfg
+
+    monkeypatch.setattr(loaders, "_adapter_cfg", small_cfg)
+    from saber_tpu.entry_points.run_micrograph_segment import run_micrograph_segment
+    out = run_micrograph_segment(str(d), output=str(tmp_path / "micro.zarr"),
+                                 num_devices=1, min_mask_area=10)
+    assert out["summary"]["failed"] == 0, out["results"]
+    root = zarrlite.Group(str(tmp_path / "micro.zarr"))
+    assert len(list(root.keys())) == 2
+
+
+class TestWebServer:
+    @pytest.fixture()
+    def ann_zarr(self, tmp_path, rng):
+        p = str(tmp_path / "cand.zarr")
+        root = zarrlite.open_group(p, "w")
+        root.attrs["labels"] = {"1": "mito"}
+        g = root.create_group("run_A")
+        g.create_dataset("0", data=rng.random((32, 32)).astype(np.float32))
+        stack = np.zeros((2, 32, 32), np.uint8)
+        stack[0, 4:12, 4:12] = 1
+        stack[1, 20:30, 20:30] = 1
+        g.create_group("labels").create_dataset("0", data=stack)
+        return p
+
+    def test_rest_roundtrip(self, ann_zarr):
+        from saber_tpu.gui.web.server import run_server
+        server = run_server(ann_zarr, port=0, block=False)
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        try:
+            runs = json.load(urllib.request.urlopen(f"{base}/api/runs"))
+            assert runs["runs"] == ["run_A"]
+            payload = json.load(urllib.request.urlopen(f"{base}/api/run/run_A"))
+            assert len(payload["masks"]) == 2
+            assert payload["masks"][0]["area"] == 64
+            assert payload["image"]  # base64 png
+            classes = json.load(urllib.request.urlopen(f"{base}/api/classes"))
+            assert classes == {"1": "mito"}
+
+            body = json.dumps({"run": "run_A", "accepted": {"1": [0]},
+                               "rejected": [1]}).encode()
+            req = urllib.request.Request(
+                f"{base}/api/annotate", data=body,
+                headers={"Content-Type": "application/json"})
+            resp = json.load(urllib.request.urlopen(req))
+            assert resp["ok"]
+
+            # index page serves
+            html = urllib.request.urlopen(base + "/").read().decode()
+            assert "saber-tpu annotator" in html
+        finally:
+            server.shutdown()
+
+        ann_file = os.path.splitext(ann_zarr)[0] + "_annotations.json"
+        saved = json.load(open(ann_file))
+        assert saved["run_A"]["accepted"]["1"] == [0]
+
+    def test_labeler_consumes_annotations(self, ann_zarr, tmp_path):
+        ann = {"run_A": {"accepted": {"1": [0]}, "rejected": [1]}}
+        ann_path = str(tmp_path / "ann.json")
+        json.dump(ann, open(ann_path, "w"))
+        from saber_tpu.classifier.preprocess.apply_labels import labeler
+        out = labeler(ann_zarr, ann_path, str(tmp_path / "labeled.zarr"))
+        root = zarrlite.Group(out)
+        assert "run_A" in root
+        lab = root["run_A"]["labels"]
+        assert "0" in lab          # class 1 → stack "0"
+        assert "rejected" in lab
+        assert np.asarray(lab["0"]).sum() == 64
+
+
+def test_split_and_info(tmp_path, rng):
+    p = str(tmp_path / "data.zarr")
+    root = zarrlite.open_group(p, "w")
+    root.attrs["labels"] = {"1": "x"}
+    for i in range(10):
+        g = root.create_group(f"run_{i}")
+        g.create_dataset("0", data=rng.random((8, 8)).astype(np.float32))
+        g.create_group("labels").create_dataset(
+            "0", data=(rng.random((8, 8)) > 0.5).astype(np.uint8))
+    from saber_tpu.classifier.preprocess.split_merge_data import split_dataset
+    train, val, test = split_dataset(p, 0.6, 0.2, seed=0)
+    nt = len(list(zarrlite.Group(train).keys()))
+    nv = len(list(zarrlite.Group(val).keys()))
+    ns = len(list(zarrlite.Group(test).keys()))
+    assert (nt, nv, ns) == (6, 2, 2)
+    from saber_tpu.classifier.preprocess.training_data_info import training_data_info
+    info = training_data_info(train)
+    assert info["runs"] == 6
