@@ -210,7 +210,7 @@ class MaskDecoder(nn.Module):
 
         # upscale ×4 with high-res skips
         up = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2), dtype=self.dtype,
-                              name="upscale_conv1")(src_img)
+                              transpose_kernel=True, name="upscale_conv1")(src_img)
         if self.use_high_res_features and high_res_features is not None:
             feat_s0, feat_s1 = high_res_features
             feat_s1 = nn.Conv(c // 4, (1, 1), dtype=self.dtype, name="conv_s1")(feat_s1)
@@ -218,7 +218,7 @@ class MaskDecoder(nn.Module):
         up = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="upscale_ln")(up)
         up = nn.gelu(up, approximate=False)
         up = nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
-                              name="upscale_conv2")(up)
+                              transpose_kernel=True, name="upscale_conv2")(up)
         if self.use_high_res_features and high_res_features is not None:
             feat_s0 = nn.Conv(c // 8, (1, 1), dtype=self.dtype, name="conv_s0")(feat_s0)
             up = up + feat_s0

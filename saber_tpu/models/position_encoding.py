@@ -60,45 +60,49 @@ def random_pe_grid(h: int, w: int, gaussian_matrix: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def compute_axial_cis(dim: int, end_x: int, end_y: int, theta: float = 10000.0):
-    """Axial RoPE frequencies for a (end_y, end_x) grid → complex (N, dim/2).
+    """Axial RoPE angles for a (end_y, end_x) grid → (cos, sin) each (N, dim/2).
 
     Half the rotary channels rotate with x-position, half with y-position
-    (SAM2's compute_axial_cis).
+    (SAM2's compute_axial_cis). Real-valued: some TPU runtimes lack
+    complex64, and pairwise real rotation maps better onto the VPU anyway.
     """
     freqs = 1.0 / (theta ** (np.arange(0, dim, 4)[: dim // 4].astype(np.float32) / dim))
     t = np.arange(end_x * end_y, dtype=np.float32)
     t_x = t % end_x
     t_y = t // end_x
-    freqs_x = np.outer(t_x, freqs)
-    freqs_y = np.outer(t_y, freqs)
-    cis_x = np.exp(1j * freqs_x)  # unit-magnitude complex
-    cis_y = np.exp(1j * freqs_y)
-    return jnp.asarray(np.concatenate([cis_x, cis_y], axis=-1).astype(np.complex64))
+    ang = np.concatenate([np.outer(t_x, freqs), np.outer(t_y, freqs)], axis=-1)
+    return jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
 
 
-def apply_rotary_enc(xq: jnp.ndarray, xk: jnp.ndarray, freqs_cis: jnp.ndarray,
+def apply_rotary_enc(xq: jnp.ndarray, xk: jnp.ndarray, freqs_cis,
                      repeat_freqs_k: bool = False, num_k_exclude_rope: int = 0):
-    """Rotate (B, T, H, D) queries/keys by complex axial frequencies.
+    """Rotate (B, T, H, D) queries/keys by axial rotary angles.
 
-    freqs_cis: (T, D/2) complex. If repeat_freqs_k, keys may be r×T long
-    (memory from several frames) and frequencies tile along time. The last
-    ``num_k_exclude_rope`` key tokens (object pointers) are left unrotated.
+    freqs_cis: (cos (T, D/2), sin (T, D/2)). If repeat_freqs_k, keys may be
+    r×T long (memory from several frames) and angles tile along time. The
+    last ``num_k_exclude_rope`` key tokens (object pointers) stay unrotated.
+    Equivalent to the complex formulation: channel pairs (2i, 2i+1) rotate
+    as (a·cos−b·sin, a·sin+b·cos).
     """
-    def rotate(x, fc):
-        xc = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
-        xc = jax.lax.complex(xc[..., 0], xc[..., 1])
-        out = xc * fc[None, :, None, :]
-        return jnp.stack([out.real, out.imag], axis=-1).reshape(x.shape).astype(x.dtype)
+    cos, sin = freqs_cis
 
-    xq_out = rotate(xq, freqs_cis)
+    def rotate(x, c, s):
+        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+        a, b = xf[..., 0], xf[..., 1]
+        c = c[None, :, None, :]
+        s = s[None, :, None, :]
+        out = jnp.stack([a * c - b * s, a * s + b * c], axis=-1)
+        return out.reshape(x.shape).astype(x.dtype)
+
+    xq_out = rotate(xq, cos, sin)
     num_k_rope = xk.shape[1] - num_k_exclude_rope
     xk_rope = xk[:, :num_k_rope]
-    if repeat_freqs_k and xk_rope.shape[1] != freqs_cis.shape[0]:
-        r = xk_rope.shape[1] // freqs_cis.shape[0]
-        fk = jnp.tile(freqs_cis, (r, 1))
+    if repeat_freqs_k and xk_rope.shape[1] != cos.shape[0]:
+        r = xk_rope.shape[1] // cos.shape[0]
+        ck, sk = jnp.tile(cos, (r, 1)), jnp.tile(sin, (r, 1))
     else:
-        fk = freqs_cis
-    xk_out = rotate(xk_rope, fk)
+        ck, sk = cos, sin
+    xk_out = rotate(xk_rope, ck, sk)
     if num_k_exclude_rope > 0:
         xk_out = jnp.concatenate([xk_out, xk[:, num_k_rope:]], axis=1)
     return xq_out, xk_out
