@@ -142,6 +142,41 @@ class AnnotationApp:
                 json.dump(self.annotations, f, indent=1)
         return {"ok": True, "run": run}
 
+    # free-text / hashtag labeling per segmentation (the reference's
+    # text-annotation GUI, saber/gui/text/*: per-segmentation notes and
+    # #hashtags for text/VLM-style supervision)
+    @property
+    def text_path(self):
+        return os.path.splitext(self.zarr_path)[0] + "_text_annotations.json"
+
+    def text_annotations(self) -> Dict:
+        if os.path.exists(self.text_path):
+            with open(self.text_path) as f:
+                return json.load(f)
+        return {}
+
+    def annotate_text(self, payload: dict):
+        run = payload["run"]
+        idx = str(payload["index"])
+        text = payload.get("text", "")
+        hashtags = sorted({w for w in text.split() if w.startswith("#")}
+                          | set(payload.get("hashtags", [])))
+        with self.lock:
+            ann = self.text_annotations()
+            ann.setdefault(run, {})[idx] = {"text": text, "hashtags": hashtags}
+            with open(self.text_path, "w") as f:
+                json.dump(ann, f, indent=1)
+        return {"ok": True, "run": run, "index": idx, "hashtags": hashtags}
+
+    def hashtags(self):
+        """Global hashtag frequency (reference hashtag_manager.py)."""
+        counts: Dict[str, int] = {}
+        for run_ann in self.text_annotations().values():
+            for entry in run_ann.values():
+                for tag in entry.get("hashtags", []):
+                    counts[tag] = counts.get(tag, 0) + 1
+        return counts
+
     def classes(self):
         return dict(self.root.attrs.get("labels", {}))
 
@@ -167,6 +202,10 @@ def _make_handler(app: AnnotationApp):
                     self._send(200, app.run_payload(self.path[len("/api/run/"):]))
                 elif self.path == "/api/annotations":
                     self._send(200, app.annotations)
+                elif self.path == "/api/text":
+                    self._send(200, app.text_annotations())
+                elif self.path == "/api/hashtags":
+                    self._send(200, app.hashtags())
                 elif self.path == "/api/classes":
                     self._send(200, app.classes())
                 else:
@@ -182,6 +221,10 @@ def _make_handler(app: AnnotationApp):
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
                     self._send(200, app.annotate(payload))
+                elif self.path == "/api/annotate_text":
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    self._send(200, app.annotate_text(payload))
                 else:
                     self._send(404, {"error": "not found"})
             except Exception as e:

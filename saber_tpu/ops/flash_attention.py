@@ -1,0 +1,109 @@
+"""Pallas flash attention for TPU.
+
+Used by the Hiera global-attention blocks (4096 tokens at /16 for 1024px
+inputs) and wherever sequences are long enough that materializing the
+(T×S) score matrix wastes HBM bandwidth (saber_tpu/models/attention.py
+dispatches here on TPU). Standard online-softmax tiling: the grid walks
+(batch·heads, query blocks); each program streams key/value blocks
+through VMEM keeping running max/sum statistics in fp32.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_k: int,
+                  scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale          # (BQ, D_eff)
+    bq = q.shape[0]
+    d_out = o_ref.shape[-1]
+    num_k = seq_k // block_k
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m_prev - m_new)
+        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * correction + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d_out), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    block_q: int = 256, block_k: int = 512,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Attention over (B, T, H, D) tensors; softmax in fp32.
+
+    Sequences pad up to the block size; padded KEY positions are excluded
+    by masking their scores before softmax (padding handled by giving the
+    padded keys -inf logits via an extra additive row mask baked into k).
+    """
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    scale = d**-0.5
+
+    # fold heads into batch; pallas kernel is rank-2 per program
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+    t_pad = -(-t // block_q) * block_q
+    s_pad = -(-s // block_k) * block_k
+    qf = _pad_to(qf, t_pad, 1)
+    # padded keys must not contribute: bias their dot products to -inf by
+    # appending a large negative "indicator" channel
+    if s_pad != s:
+        ind_k = jnp.concatenate(
+            [jnp.zeros((b * h, s, 1), qf.dtype),
+             jnp.ones((b * h, s_pad - s, 1), qf.dtype)], axis=1)
+        kf = jnp.concatenate([_pad_to(kf, s_pad, 1), ind_k * 1e4], axis=-1)
+        qf = jnp.concatenate([qf, -jnp.ones((b * h, t_pad, 1), qf.dtype)],
+                             axis=-1)
+        vf = _pad_to(vf, s_pad, 1)
+        d_eff = d + 1
+    else:
+        d_eff = d
+
+    grid = (b * h, t_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, seq_k=s_pad,
+                          scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_eff), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, s_pad, d_eff), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    out = out[:, :t].reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    return out

@@ -1,0 +1,76 @@
+"""SAM2-specific plots (reference saber/visualization/sam2.py:175):
+presence-fit curves, point/box prompts, mask displays."""
+
+import os
+from typing import Optional
+
+import matplotlib
+import numpy as np
+
+if not os.environ.get("DISPLAY"):
+    matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def plot_fit(data: np.ndarray, curve: np.ndarray, fname: Optional[str] = None):
+    """Per-mask presence-score data + fitted curve over z
+    (reference estimate_thickness plotting path)."""
+    fig, ax = plt.subplots(figsize=(6, 3.4))
+    z = np.arange(len(data))
+    ax.plot(z, data, ".", label="object scores", alpha=0.6)
+    ax.plot(z, curve, "-", label="fitted presence")
+    ax.set_xlabel("z-slice")
+    ax.set_ylabel("score")
+    ax.legend()
+    fig.tight_layout()
+    if fname or matplotlib.get_backend().lower() == "agg":
+        fig.savefig(fname or "presence_fit.png", dpi=110)
+        plt.close(fig)
+    else:
+        plt.show()
+
+
+def show_points(ax, coords: np.ndarray, labels: np.ndarray, marker_size=120):
+    coords = np.asarray(coords).reshape(-1, 2)
+    labels = np.asarray(labels).reshape(-1)
+    pos = coords[labels == 1]
+    neg = coords[labels == 0]
+    ax.scatter(pos[:, 0], pos[:, 1], color="lime", marker="*", s=marker_size,
+               edgecolor="white", linewidth=1)
+    ax.scatter(neg[:, 0], neg[:, 1], color="red", marker="*", s=marker_size,
+               edgecolor="white", linewidth=1)
+
+
+def show_box(ax, box):
+    x0, y0, x1, y1 = box
+    ax.add_patch(plt.Rectangle((x0, y0), x1 - x0, y1 - y0, fill=False,
+                               edgecolor="yellow", linewidth=1.5))
+
+
+def show_mask(ax, mask: np.ndarray, color=None, alpha=0.5):
+    mask = np.asarray(mask, bool)
+    if color is None:
+        color = np.array([0.2, 0.55, 0.95])
+    overlay = np.zeros((*mask.shape, 4))
+    overlay[mask] = [*color, alpha]
+    ax.imshow(overlay)
+
+
+def display_prompt_prediction(image, mask, points=None, labels=None, box=None,
+                              fname: Optional[str] = None):
+    """One-figure prompt + prediction display."""
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(image, cmap="gray")
+    show_mask(ax, mask)
+    if points is not None:
+        show_points(ax, points, labels if labels is not None
+                    else np.ones(len(points)))
+    if box is not None:
+        show_box(ax, box)
+    ax.axis("off")
+    fig.tight_layout()
+    if fname or matplotlib.get_backend().lower() == "agg":
+        fig.savefig(fname or "prompt_prediction.png", dpi=110)
+        plt.close(fig)
+    else:
+        plt.show()

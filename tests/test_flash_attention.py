@@ -1,0 +1,31 @@
+"""Flash-attention kernel vs exact attention (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from saber_tpu.models.attention import _xla_attention
+from saber_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("t,s,d,h", [(256, 256, 64, 2), (300, 300, 64, 1),
+                                     (128, 512, 32, 2)])
+def test_matches_exact(rng, t, s, d, h):
+    q = jnp.asarray(rng.standard_normal((1, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, s, h, d)).astype(np.float32))
+    want = np.asarray(_xla_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_bf16(rng):
+    q = jnp.asarray(rng.standard_normal((2, 128, 1, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((2, 128, 1, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((2, 128, 1, 64)), jnp.bfloat16)
+    want = np.asarray(_xla_attention(q, k, v)).astype(np.float32)
+    got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
