@@ -22,6 +22,15 @@ BASELINE_SLICES_PER_SEC = 512.0 / 60.0  # north-star, BASELINE.md
 
 def main():
     import jax
+
+    # persistent compilation cache: remote-TPU compiles are slow; reuse
+    # executables across bench runs/rounds
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/saber_tpu/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from saber_tpu.models.sam2 import build_sam2
