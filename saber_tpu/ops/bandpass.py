@@ -76,7 +76,15 @@ class Filter3D:
 
     def apply(self, data):
         """fftn → mask → ifftn (reference tomograms.py:162-184)."""
+        from saber_tpu.ops.fft_compat import device_fft_available
+
         return_numpy = isinstance(data, np.ndarray)
+        if not device_fft_available():
+            arr = np.asarray(data, np.float32)
+            f = np.fft.fftshift(np.fft.fftn(arr))
+            out = np.fft.ifftn(np.fft.ifftshift(f * self.filter)).real
+            out = out.astype(np.float32)
+            return out if return_numpy else jnp.asarray(out)
         out = _apply_filter(jnp.asarray(data, jnp.float32), jnp.asarray(self.filter))
         return np.asarray(out) if return_numpy else out
 

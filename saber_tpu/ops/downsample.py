@@ -42,16 +42,31 @@ def _rescale3d(volume: jnp.ndarray, starts, sizes) -> jnp.ndarray:
     return out.real
 
 
+def _np_rescale3d(volume: np.ndarray, starts, sizes) -> np.ndarray:
+    f = np.fft.fftshift(np.fft.fftn(volume, axes=(-3, -2, -1), norm="ortho"),
+                        axes=(-3, -2, -1))
+    sl = (...,) + tuple(slice(s, s + n) for s, n in zip(starts, sizes))
+    out = np.fft.ifftn(np.fft.ifftshift(f[sl], axes=(-3, -2, -1)),
+                       axes=(-3, -2, -1), norm="ortho")
+    return out.real.astype(np.float32)
+
+
 def fourier_rescale_3d(volume, input_voxel_size, output_voxel_size):
     """Rescale a (Z,H,W) or (B,Z,H,W) volume by Fourier cropping."""
+    from saber_tpu.ops.fft_compat import device_fft_available
+
     if np.isscalar(input_voxel_size):
         input_voxel_size = (input_voxel_size,) * 3
     if np.isscalar(output_voxel_size):
         output_voxel_size = (output_voxel_size,) * 3
     if any(o < i for i, o in zip(input_voxel_size, output_voxel_size)):
         raise ValueError("Output voxel size must be >= input voxel size.")
+    starts, sizes = _crop_dims(np.shape(volume)[-3:], input_voxel_size,
+                               output_voxel_size)
+    if not device_fft_available():
+        return jnp.asarray(_np_rescale3d(np.asarray(volume, np.float32),
+                                         starts, sizes))
     volume = jnp.asarray(volume, jnp.float32)
-    starts, sizes = _crop_dims(volume.shape[-3:], input_voxel_size, output_voxel_size)
     return _rescale3d(volume, tuple(starts), tuple(sizes))
 
 
@@ -66,15 +81,24 @@ def _rescale2d(image: jnp.ndarray, starts, sizes) -> jnp.ndarray:
 
 def fourier_rescale_2d(image, scale_factor: float):
     """Rescale an (H,W) or (B,H,W) image by `scale_factor` ≥ 1 (Fourier crop)."""
+    from saber_tpu.ops.fft_compat import device_fft_available
+
     if scale_factor < 1:
         raise ValueError("Scale factor must be greater than 1")
-    image = jnp.asarray(image, jnp.float32)
-    h, w = image.shape[-2:]
+    h, w = np.shape(image)[-2:]
     h_new = int(h / scale_factor)
     w_new = int(w / scale_factor)
     h_new -= h_new % 2
     w_new -= w_new % 2
     starts = ((h - h_new) // 2 + (h % 2), (w - w_new) // 2 + (w % 2))
+    if not device_fft_available():
+        img = np.asarray(image, np.float32)
+        f = np.fft.fftshift(np.fft.fft2(img), axes=(-2, -1))
+        sl = (...,) + tuple(slice(s, s + n)
+                            for s, n in zip(starts, (h_new, w_new)))
+        out = np.abs(np.fft.ifft2(np.fft.ifftshift(f[sl], axes=(-2, -1))))
+        return jnp.asarray(out.astype(np.float32))
+    image = jnp.asarray(image, jnp.float32)
     return _rescale2d(image, starts, (h_new, w_new))
 
 
