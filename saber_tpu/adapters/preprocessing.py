@@ -36,6 +36,33 @@ def _prepare_frames(vol: jnp.ndarray, image_size: int, light_modality: bool):
     return frames
 
 
+@partial(jax.jit, static_argnames=("image_size", "light_modality"))
+def _prepare_slab(vol_slab: jnp.ndarray, vmin: jnp.ndarray, vmax: jnp.ndarray,
+                  image_size: int, light_modality: bool):
+    """Same chain as _prepare_frames but with externally supplied global
+    min/max, so slabs of a larger volume normalize consistently. Fuses into
+    the encoder launch — the raw volume stays in HBM (e.g. 512 MB for a
+    512³ f32 tomogram) instead of a materialized (Z, S, S, 3) frame tensor
+    (6.4 GB at S=1024)."""
+    v = vol_slab.astype(jnp.float32)
+    v = (v - vmin) / (vmax - vmin + 1e-12)
+    v = v * 2.0 - 1.0
+    z = v.shape[0]
+    frames = jax.image.resize(v, (z, image_size, image_size),
+                              method="linear", antialias=True)
+    frames = jnp.repeat(frames[..., None], 3, axis=-1)
+    frames = 2.0 * frames - 1.0
+    if light_modality:
+        # global affine range of the [-3,1] chain (exact: the reference
+        # rescales by the global min/max of the transformed volume, which
+        # the slab cannot see; min/max of the affine map are affine images
+        # of the volume's min/max since resize is an averaging operator —
+        # slight edge effects from anti-aliasing are negligible)
+        lo, hi = -3.0, 1.0
+        frames = (frames - lo) / (hi - lo + 1e-12) * 255.0
+    return frames
+
+
 class TomogramPreprocessor:
     """API analog of reference TomogramPreprocessor (preprocessing.py:7-76)."""
 
@@ -53,3 +80,10 @@ class TomogramPreprocessor:
         frames = _prepare_frames(jnp.asarray(tomogram), image_size,
                                  self.light_modality)
         return frames, h, w
+
+    def prepare_slab(self, vol_slab: jnp.ndarray, vmin, vmax,
+                     image_size: int) -> jnp.ndarray:
+        """Slab-wise frames with global normalization constants."""
+        return _prepare_slab(vol_slab, jnp.asarray(vmin, jnp.float32),
+                             jnp.asarray(vmax, jnp.float32), image_size,
+                             self.light_modality)

@@ -91,19 +91,23 @@ class SAM2Adapter(BaseAdapter):
 
     def set_volume(self, tomogram: np.ndarray,
                    offload_video_to_cpu: bool = False) -> None:
-        """Preprocess the whole tomogram into device frames
-        (reference predictor.py:76-116; offload flag kept for API parity —
-        frames stay in HBM unless it is set, then they stay in host RAM
-        and transfer per slab)."""
+        """Load the tomogram for propagation (reference predictor.py:76-116).
+
+        TPU-first memory layout: the RAW (Z,H,W) volume stays resident
+        (HBM, or host RAM with offload_video_to_cpu) and slabs preprocess
+        on the fly, fused ahead of the encoder — instead of materializing
+        the reference's (Z, 3, 1024, 1024) fp32 frame tensor
+        (its "memory cliff", SURVEY.md §3 hot-loop (d))."""
+        tomogram = np.asarray(tomogram, np.float32)
         self._vol_shape = tomogram.shape
         self.frame_metrics = {}
-        frames, h, w = self.preprocessor.prepare_volume(
-            np.asarray(tomogram), self.model.config.image_size)
-        if offload_video_to_cpu:
-            frames = np.asarray(frames)
+        z, h, w = tomogram.shape
         self.inference_state = {
-            "images": frames,
-            "num_frames": tomogram.shape[0],
+            "volume": (np.asarray(tomogram) if offload_video_to_cpu
+                       else jnp.asarray(tomogram)),
+            "vmin": float(tomogram.min()),
+            "vmax": float(tomogram.max()),
+            "num_frames": z,
             "video_height": h,
             "video_width": w,
             "seeds": {},            # frame_idx -> {obj_id: (S, S) float mask}
@@ -176,8 +180,19 @@ class SAM2Adapter(BaseAdapter):
     # Propagation
     # ------------------------------------------------------------------
 
+    def _frames_for(self, state, idxs) -> jnp.ndarray:
+        """Gather raw slices and preprocess to model frames on device."""
+        vol = state["volume"]
+        idxs = np.asarray(idxs)
+        if isinstance(vol, np.ndarray):
+            slab = jnp.asarray(vol[idxs])
+        else:
+            slab = jnp.take(vol, jnp.asarray(idxs), axis=0)
+        return self.preprocessor.prepare_slab(
+            slab, state["vmin"], state["vmax"], self.model.config.image_size)
+
     def _frame_backbone(self, state, frame_idx: int):
-        imgs = jnp.asarray(state["images"][frame_idx:frame_idx + 1])
+        imgs = self._frames_for(state, [frame_idx])
         return self.core.encode_batch(self.params, imgs)
 
     def _seed_state(self, state, frame_idx: int):
@@ -227,11 +242,7 @@ class SAM2Adapter(BaseAdapter):
                        scores_np[j])
 
     def _encode_frames_at(self, state, idxs):
-        imgs = state["images"]
-        if isinstance(imgs, np.ndarray):
-            batch = jnp.asarray(imgs[np.asarray(idxs)])
-        else:
-            batch = jnp.take(imgs, jnp.asarray(idxs), axis=0)
+        batch = self._frames_for(state, idxs)
         bb = self.core.encode_batch(self.params, batch)
         return VideoCore.slab_frames(bb)
 
