@@ -35,10 +35,11 @@ def scaled_dot_product_attention(q, k, v, use_flash: bool | None = None):
     fuses well for the short-sequence decoder/prompt attention.
     """
     if use_flash is None:
+        d = q.shape[-1]
         use_flash = (
             q.shape[1] >= _FLASH_MIN_SEQ
             and jax.default_backend() == "tpu"
-            and q.shape[-1] in (32, 64, 128)
+            and 32 <= d <= 256 and d % 8 == 0
         )
     if use_flash:
         try:

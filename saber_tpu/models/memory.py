@@ -126,12 +126,22 @@ class RoPEAttention(nn.Module):
         qp, kp = apply_rotary_enc(qp, kp, freqs, repeat_freqs_k=self.rope_k_repeat,
                                   num_k_exclude_rope=num_k_exclude_rope)
 
-        scale = head_dim**-0.5
-        logits = jnp.einsum("bthd,bshd->bhts", qp, kp) * scale
-        if attn_bias is not None:
-            logits = logits + attn_bias  # (B, 1, 1, S) or broadcastable
-        probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qp.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", probs, vp).reshape(b, tq, internal)
+        import jax
+        if (tq >= 1024 and jax.default_backend() == "tpu"
+                and 32 <= head_dim <= 256 and head_dim % 8 == 0):
+            # flash path: avoids materializing the (B, T, S) score matrix
+            from saber_tpu.ops.flash_attention import flash_attention
+            bias_vec = (attn_bias.reshape(b, tk) if attn_bias is not None
+                        else None)
+            out = flash_attention(qp, kp, vp, bias=bias_vec)
+            out = out.reshape(b, tq, internal)
+        else:
+            scale = head_dim**-0.5
+            logits = jnp.einsum("bthd,bshd->bhts", qp, kp) * scale
+            if attn_bias is not None:
+                logits = logits + attn_bias  # (B, 1, 1, S) or broadcastable
+            probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qp.dtype)
+            out = jnp.einsum("bhts,bshd->bthd", probs, vp).reshape(b, tq, internal)
         return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(out)
 
 

@@ -1,14 +1,19 @@
 """Pallas flash attention for TPU.
 
 Used by the Hiera global-attention blocks (4096 tokens at /16 for 1024px
-inputs) and wherever sequences are long enough that materializing the
-(T×S) score matrix wastes HBM bandwidth (saber_tpu/models/attention.py
-dispatches here on TPU). Standard online-softmax tiling: the grid walks
-(batch·heads, query blocks); each program streams key/value blocks
-through VMEM keeping running max/sum statistics in fp32.
+inputs) and the memory attention's cross-attention into the concatenated
+memory bank (saber_tpu/models/attention.py and models/memory.py dispatch
+here on TPU). Standard online-softmax tiling: the grid walks
+(batch·heads, query blocks); each program streams key/value blocks through
+VMEM keeping running max/sum statistics in fp32.
+
+Supports an additive key bias vector (used to mask invalid memory-bank
+slots / object-pointer tokens); sequence padding is folded into the same
+bias, so ragged lengths cost nothing extra.
 """
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -18,9 +23,9 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_k: int,
-                  scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale          # (BQ, D_eff)
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
+                  seq_k: int, scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale          # (BQ, D)
     bq = q.shape[0]
     d_out = o_ref.shape[-1]
     num_k = seq_k // block_k
@@ -29,7 +34,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_k: int,
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        b = bias_ref[0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+        s = s + b[None, :]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
@@ -54,15 +61,17 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    bias: Optional[jnp.ndarray] = None,
                     block_q: int = 256, block_k: int = 512,
                     interpret: bool = False) -> jnp.ndarray:
     """Attention over (B, T, H, D) tensors; softmax in fp32.
 
-    Sequences pad up to the block size; padded KEY positions are excluded
-    by masking their scores before softmax (padding handled by giving the
-    padded keys -inf logits via an extra additive row mask baked into k).
+    bias: optional (B, S) or (S,) additive key bias (e.g. -1e9 on masked
+    memory slots). Ragged/padded sequences are handled by folding the pad
+    mask into the bias.
     """
     b, t, h, d = q.shape
     s = k.shape[1]
@@ -74,21 +83,21 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
     t_pad = -(-t // block_q) * block_q
+    block_k = min(block_k, -(-s // 128) * 128)
     s_pad = -(-s // block_k) * block_k
     qf = _pad_to(qf, t_pad, 1)
-    # padded keys must not contribute: bias their dot products to -inf by
-    # appending a large negative "indicator" channel
-    if s_pad != s:
-        ind_k = jnp.concatenate(
-            [jnp.zeros((b * h, s, 1), qf.dtype),
-             jnp.ones((b * h, s_pad - s, 1), qf.dtype)], axis=1)
-        kf = jnp.concatenate([_pad_to(kf, s_pad, 1), ind_k * 1e4], axis=-1)
-        qf = jnp.concatenate([qf, -jnp.ones((b * h, t_pad, 1), qf.dtype)],
-                             axis=-1)
-        vf = _pad_to(vf, s_pad, 1)
-        d_eff = d + 1
+    kf = _pad_to(kf, s_pad, 1)
+    vf = _pad_to(vf, s_pad, 1)
+
+    if bias is None:
+        bias = jnp.zeros((b, s), jnp.float32)
     else:
-        d_eff = d
+        bias = jnp.broadcast_to(jnp.asarray(bias, jnp.float32).reshape(-1, s)
+                                if bias.ndim <= 2 else bias, (b, s))
+    if s_pad != s:
+        bias = jnp.concatenate(
+            [bias, jnp.full((b, s_pad - s), _NEG_INF, jnp.float32)], axis=1)
+    bias_f = jnp.repeat(bias[:, None], h, axis=1).reshape(b * h, s_pad)
 
     grid = (b * h, t_pad // block_q)
     out = pl.pallas_call(
@@ -96,14 +105,15 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_eff), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, s_pad, d_eff), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s_pad), lambda i, j: (i, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(qf, kf, vf, bias_f)
 
     out = out[:, :t].reshape(b, h, t, d).transpose(0, 2, 1, 3)
     return out

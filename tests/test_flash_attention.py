@@ -21,6 +21,28 @@ def test_matches_exact(rng, t, s, d, h):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
+def test_bias_masking(rng):
+    """-1e9 bias on masked keys reproduces masked exact attention."""
+    q = jnp.asarray(rng.standard_normal((2, 128, 1, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 200, 1, 64)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 200, 1, 64)).astype(np.float32))
+    bias = np.zeros((2, 200), np.float32)
+    bias[:, 150:] = -1e9
+    got = np.asarray(flash_attention(q, k, v, bias=jnp.asarray(bias),
+                                     block_q=128, block_k=128, interpret=True))
+    want = np.asarray(_xla_attention(q, k[:, :150], v[:, :150]))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_head_dim_96_and_256(rng):
+    for d in (96, 256):
+        q = jnp.asarray(rng.standard_normal((1, 128, 2, d)).astype(np.float32))
+        got = np.asarray(flash_attention(q, q, q, block_q=128, block_k=128,
+                                         interpret=True))
+        want = np.asarray(_xla_attention(q, q, q))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
 def test_bf16(rng):
     q = jnp.asarray(rng.standard_normal((2, 128, 1, 64)), jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((2, 128, 1, 64)), jnp.bfloat16)
