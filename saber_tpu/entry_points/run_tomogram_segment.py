@@ -27,13 +27,26 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
                  slab_thickness: int = 10, num_slabs: int = 1, delta_z: int = 30,
                  min_mask_area: int = 50, session_id: str = "0",
                  display: bool = False, num_devices: Optional[int] = None,
-                 gallery: bool = True):
-    """Batch 3D segmentation over all runs in `input`."""
+                 gallery: bool = True, resume: bool = False,
+                 max_retries: int = 0):
+    """Batch 3D segmentation over all runs in `input`.
+
+    ``resume`` skips runs already present in the output zarr (batch
+    checkpoint/resume — absent in the reference, SURVEY.md §5)."""
     runs = discover_runs(input, voxel_size=voxel_size, run_ids=run_ids)
     if not runs:
         raise click.ClickException(f"no runs found in {input}")
 
     writer = zarr_writer.get_zarr_writer(output)
+    if resume:
+        done = set(writer.root.keys())
+        skipped = [r.name for r in runs if r.name in done]
+        runs = [r for r in runs if r.name not in done]
+        if skipped:
+            print(f"resume: skipping {len(skipped)} completed runs")
+        if not runs:
+            return {"results": [], "summary": {"total": 0, "succeeded": 0,
+                                               "failed": 0, "per_device": {}}}
     save_copick_metadata(os.path.splitext(output)[0] + "_metadata.yaml", {
         "input": input, "voxel_size": voxel_size, "sam2_cfg": sam2_cfg,
         "model_config": model_config, "target_class": target_class,
@@ -54,7 +67,7 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
         init_fn=lambda i: tomogram_workflow(
             i, sam2_cfg, model_config, model_weights, min_mask_area,
             num_slabs, target_class),
-        num_devices=num_devices, verbose=True)
+        num_devices=num_devices, verbose=True, max_retries=max_retries)
 
     def work(run, device_id, models):
         return segment_tomogram_core(
@@ -88,6 +101,9 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
 @click.option("--session-id", default="0", show_default=True)
 @click.option("--display", is_flag=True)
 @click.option("--num-devices", type=int, default=None)
+@click.option("--resume", is_flag=True,
+              help="skip runs already present in the output zarr")
+@click.option("--max-retries", default=0, show_default=True)
 def tomograms(**kwargs):
     """Zero-shot / classifier-filtered 3D segmentation of tomograms."""
     run_tomo_seg(**kwargs)

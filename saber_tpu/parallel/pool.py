@@ -32,7 +32,8 @@ class DevicePool:
 
     def __init__(self, init_fn: Optional[Callable[[int], Dict[str, Any]]] = None,
                  num_devices: Optional[int] = None,
-                 approach: str = "threading", verbose: bool = False):
+                 approach: str = "threading", verbose: bool = False,
+                 max_retries: int = 0):
         """
         Args:
             init_fn: called once per device (under that device's context)
@@ -43,7 +44,11 @@ class DevicePool:
                 reference's "multiprocessing" mode exists to isolate CUDA
                 contexts; one JAX process already owns all chips, so it is
                 accepted and treated as threading.
+            max_retries: failed tasks retry up to this many times (on the
+                next device in round-robin order) — the reference has no
+                retry support (SURVEY.md §5 failure detection).
         """
+        self.max_retries = max_retries
         self.devices = jax.local_devices()
         if num_devices is not None:
             self.devices = self.devices[:num_devices]
@@ -102,10 +107,20 @@ class DevicePool:
         an init_fn was given). Returns {"results": [records...],
         "summary": {...}} with the reference's record schema.
         """
+        def run_with_retries(i, task):
+            rec = self._run_one(i, task, fn, i % self.num_devices)
+            attempt = 0
+            while not rec["success"] and attempt < self.max_retries:
+                attempt += 1
+                rec = self._run_one(i, task, fn,
+                                    (i + attempt) % self.num_devices)
+                rec["retries"] = attempt
+            return rec
+
         records: List[Optional[Dict[str, Any]]] = [None] * len(tasks)
         with ThreadPoolExecutor(max_workers=self.num_devices) as ex:
             futures = {
-                ex.submit(self._run_one, i, task, fn, i % self.num_devices): i
+                ex.submit(run_with_retries, i, task): i
                 for i, task in enumerate(tasks)}
             for fut in futures:
                 records[futures[fut]] = fut.result()

@@ -99,3 +99,29 @@ class TestMesh:
         assert mesh.shape == {"data": 4, "model": 2}
         with pytest.raises(ValueError):
             make_mesh(8, axis_names=("a", "b"))
+
+
+class TestRetries:
+    def test_retry_succeeds_on_other_device(self):
+        pool = DevicePool(num_devices=2, max_retries=2)
+        calls = {}
+
+        def flaky(t, device_id):
+            calls[t] = calls.get(t, 0) + 1
+            if t == 1 and calls[t] == 1:
+                raise RuntimeError("transient")
+            return t
+
+        out = pool.execute(flaky, [0, 1, 2])
+        assert out["summary"]["failed"] == 0
+        assert out["results"][1]["retries"] == 1
+
+    def test_permanent_failure_recorded(self):
+        pool = DevicePool(num_devices=2, max_retries=1)
+
+        def always_fail(t, device_id):
+            raise ValueError("nope")
+
+        out = pool.execute(always_fail, [0])
+        assert out["summary"]["failed"] == 1
+        assert "nope" in out["results"][0]["error"]
