@@ -20,12 +20,17 @@ def web(input, host, port):
 
 @click.command(name="gui")
 @click.option("--input", required=True, help="candidate-mask zarr")
-def gui(input):
+@click.option("--text", "text_mode", is_flag=True,
+              help="free-text/hashtag annotation mode")
+def gui(input, text_mode):
     """Launch the Qt annotation GUI (requires PyQt5)."""
     try:
-        from saber_tpu.gui.base.zarr_gui import launch_gui
+        if text_mode:
+            from saber_tpu.gui.text.zarr_text_gui import launch_text_gui as launch
+        else:
+            from saber_tpu.gui.base.zarr_gui import launch_gui as launch
     except ImportError as e:
         raise click.ClickException(
             "The Qt GUI requires PyQt5 (pip install saber-tpu[gui]); use "
             "`saber web` for the browser annotator instead.") from e
-    launch_gui(input)
+    launch(input)
