@@ -89,6 +89,30 @@ def main():
     dt = time.perf_counter() - t0
     slices_per_sec = reps * n_frames / dt
 
+    if os.environ.get("SABER_BENCH_VERBOSE"):
+        import sys
+
+        def timed(fn, n=3):
+            fn()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn()
+            np.asarray(jax.tree_util.tree_leaves(out)[0][..., :1])
+            return (time.perf_counter() - t0) / n
+
+        bb = core.encode_batch(params, frames[:chunk])
+        t_enc = timed(lambda: core.encode_batch(params, frames[:chunk]))
+        state = init_state(n_objects, core.cfg)
+        state, _ = core.seed(params, jax.tree.map(
+            lambda x: x[:1] if getattr(x, "ndim", 0) == 4 else x, bb),
+            seed_masks, jnp.asarray(0), state)
+        fr = VideoCore.slab_frames(bb)
+        idx = jnp.arange(chunk)
+        t_prop = timed(lambda: core.propagate_slab(
+            params, state, fr, idx, jnp.asarray(1.0))[1])
+        print(f"breakdown: encode {chunk / t_enc:.2f} slices/s, "
+              f"propagate {chunk / t_prop:.2f} slices/s", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"tomogram z-slices/sec/chip (SAM2 hiera-{cfg_name}, "
                   f"{image_size}px, {n_objects} objects, bf16)"
