@@ -19,7 +19,9 @@ def run_fib_segment(input: str, output: str = "fib_masks.npy",
                     nframes: Optional[int] = None,
                     target_resolution: Optional[float] = None,
                     input_resolution: Optional[float] = None,
-                    min_mask_area: int = 100, save_movie: bool = True):
+                    min_mask_area: int = 100, save_movie: bool = True,
+                    image_size: int = 1024,
+                    amg_cfg=None):
     vol = read_movie(input, target_resolution, input_resolution)
 
     classifier = None
@@ -27,11 +29,13 @@ def run_fib_segment(input: str, output: str = "fib_masks.npy",
         from saber_tpu.classifier.predictor import Predictor
         classifier = Predictor(model_config, model_weights)
         cfg = SAM2AdapterConfig(classifier=classifier,
-                                min_mask_area=min_mask_area)
+                                min_mask_area=min_mask_area,
+                                image_size=image_size)
     else:
         cfg = SAM2AdapterConfig(cfg=sam2_cfg,
-                                amg_cfg=AMGConfig(sam2_cfg=sam2_cfg),
-                                min_mask_area=min_mask_area)
+                                amg_cfg=amg_cfg or AMGConfig(sam2_cfg=sam2_cfg),
+                                min_mask_area=min_mask_area,
+                                image_size=image_size)
 
     seg = propagationSegmenter(cfg=cfg, min_mask_area=min_mask_area)
     masks = seg.segment(vol, ini_depth=ini_depth, nframes=nframes,

@@ -18,18 +18,22 @@ def run_light_segment(input: str, output: str = "light_masks.npy",
                       model_weights: Optional[str] = None,
                       target_class: int = 1, ini_depth: int = 10,
                       nframes: Optional[int] = None,
-                      min_mask_area: int = 100, save_movie: bool = True):
+                      min_mask_area: int = 100, save_movie: bool = True,
+                      image_size: int = 1024,
+                      amg_cfg=None):
     vol = read_movie(input)
 
     if model_config is not None:
         from saber_tpu.classifier.predictor import Predictor
         classifier = Predictor(model_config, model_weights)
         cfg = SAM2AdapterConfig(classifier=classifier, light_modality=True,
-                                min_mask_area=min_mask_area)
+                                min_mask_area=min_mask_area,
+                                image_size=image_size)
     else:
         cfg = SAM2AdapterConfig(cfg=sam2_cfg, light_modality=True,
-                                amg_cfg=AMGConfig(sam2_cfg=sam2_cfg),
-                                min_mask_area=min_mask_area)
+                                amg_cfg=amg_cfg or AMGConfig(sam2_cfg=sam2_cfg),
+                                min_mask_area=min_mask_area,
+                                image_size=image_size)
 
     seg = propagationSegmenter(cfg=cfg, min_mask_area=min_mask_area)
     masks = seg.segment(vol, ini_depth=ini_depth, nframes=nframes,

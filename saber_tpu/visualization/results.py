@@ -77,5 +77,5 @@ def export_movie(vol: np.ndarray, masks: np.ndarray, fname: str = "segmentation.
             sel = lab == lbl
             rgb[sel] = 0.55 * rgb[sel] + 0.45 * color
         frames.append((rgb * 255).astype(np.uint8))
-    imageio.mimsave(fname, frames, fps=fps, loop=0)
+    imageio.mimsave(fname, frames, duration=int(1000 / fps), loop=0)
     return fname
