@@ -127,6 +127,23 @@ def info_cmd(input):
         click.echo(f"class names: {info['labels']}")
 
 
+@classifier_routines.command(name="predict-slurm")
+@click.option("--input", required=True)
+@click.option("--model-config", required=True)
+@click.option("--output", default="predictions.zarr", show_default=True)
+@click.option("--shell-name", default="submit_predict.sh", show_default=True)
+@click.option("--partition", default="tpu", show_default=True)
+def predict_slurm_cmd(input, model_config, output, shell_name, partition):
+    """Generate an sbatch script for batch classifier prediction
+    (reference inference.py:114-133)."""
+    from saber_tpu.utils.slurm_submit import create_shellsubmit
+    cmd = (f"saber classifier predict --input {input} "
+           f"--model-config {model_config} --output {output}")
+    path = create_shellsubmit("saber-predict", "saber-predict-%j.out",
+                              shell_name, cmd, partition=partition)
+    click.echo(f"wrote {path}")
+
+
 @classifier_routines.command(name="train-slurm")
 @click.option("--train-zarr", required=True)
 @click.option("--val-zarr", default=None)
