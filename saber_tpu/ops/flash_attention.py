@@ -34,7 +34,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        b = bias_ref[0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        # bias rides in an (8, S) replicated layout to satisfy TPU tiling
+        b = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
         s = s + b[None, :]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -97,7 +98,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if s_pad != s:
         bias = jnp.concatenate(
             [bias, jnp.full((b, s_pad - s), _NEG_INF, jnp.float32)], axis=1)
-    bias_f = jnp.repeat(bias[:, None], h, axis=1).reshape(b * h, s_pad)
+    bias_f = jnp.repeat(bias[:, None], h, axis=1).reshape(b * h, 1, s_pad)
+    # TPU block shapes need the 2nd-minor dim divisible by 8
+    bias_f = jnp.broadcast_to(bias_f, (b * h, 8, s_pad))
 
     grid = (b * h, t_pad // block_q)
     out = pl.pallas_call(
@@ -108,7 +111,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, s_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 8, s_pad), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
