@@ -222,15 +222,29 @@ class AutomaticMaskGenerator:
         crop_boxes, layer_idxs = generate_crop_boxes(
             (h, w), cfg.crop_n_layers, cfg.crop_overlap_ratio)
 
+        # encode all crops of a layer in ONE encoder batch (the torch AMG
+        # re-runs set_image per crop, 21 encoder calls at crop_n_layers=2)
+        by_layer: Dict[int, List[int]] = {}
+        for ci, layer in enumerate(layer_idxs):
+            by_layer.setdefault(layer, []).append(ci)
+        backbones: Dict[int, Any] = {}
+        for layer, cids in by_layer.items():
+            resized = np.stack([
+                np.asarray(jax.image.resize(
+                    jnp.asarray(image[c[1]:c[3], c[0]:c[2]], jnp.float32),
+                    (model_size, model_size, 3), method="bilinear"))
+                for c in (crop_boxes[i] for i in cids)])
+            bb = self._encode(resized)
+            for k, ci in enumerate(cids):
+                backbones[ci] = jax.tree.map(
+                    lambda x, k=k: x[k:k + 1] if getattr(x, "ndim", 0) == 4
+                    else x, bb)
+
         all_data: List[Dict[str, np.ndarray]] = []
-        for crop_box, layer in zip(crop_boxes, layer_idxs):
+        for ci, (crop_box, layer) in enumerate(zip(crop_boxes, layer_idxs)):
             x0, y0, x1, y1 = crop_box
-            crop = image[y0:y1, x0:x1]
-            ch, cw = crop.shape[:2]
-            resized = np.asarray(jax.image.resize(
-                jnp.asarray(crop, jnp.float32), (model_size, model_size, 3),
-                method="bilinear"))
-            backbone = self._encode(resized[None])
+            ch, cw = y1 - y0, x1 - x0
+            backbone = backbones[ci]
             n_side = max(1, cfg.npoints // (cfg.crop_n_points_downscale_factor ** layer))
             buf = jax.tree.map(np.asarray, self._run_crop(backbone, n_side))
 
