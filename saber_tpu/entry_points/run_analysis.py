@@ -65,6 +65,49 @@ def cli():
     """Export review artifacts (galleries, movies)."""
 
 
+@cli.command(name="coordinates")
+@click.option("--input", required=True, help="segmentation zarr")
+@click.option("--organelle-name", default="organelle", show_default=True)
+@click.option("--voxel-size", default=10.0, show_default=True)
+@click.option("--session-id", default="0", show_default=True)
+@click.option("--user-id", default="saber", show_default=True)
+def coordinates(input, organelle_name, voxel_size, session_id, user_id):
+    """Export per-organelle centroid picks (reference run_analysis.py
+    `coordinates`: copick picks; JSON sidecars without copick)."""
+    run_organelle_statistics(input, organelle_name, voxel_size, session_id,
+                             user_id, output_csv="/dev/null",
+                             save_picks=True)
+    click.echo("wrote coordinate picks")
+
+
+@cli.command(name="statistics")
+@click.option("--input", required=True, help="segmentation zarr")
+@click.option("--organelle-name", default="organelle", show_default=True)
+@click.option("--voxel-size", default=10.0, show_default=True)
+@click.option("--output-csv", default="organelle_statistics.csv",
+              show_default=True)
+def statistics(input, organelle_name, voxel_size, output_csv):
+    """Export volume/diameter statistics CSV (reference `statistics`)."""
+    out = run_organelle_statistics(input, organelle_name, voxel_size,
+                                   output_csv=output_csv, save_picks=False)
+    click.echo(f"wrote {out}")
+
+
+@cli.command(name="slurm")
+@click.option("--input", required=True)
+@click.option("--organelle-name", default="organelle", show_default=True)
+@click.option("--shell-name", default="submit_save.sh", show_default=True)
+@click.option("--partition", default="tpu", show_default=True)
+def save_slurm(input, organelle_name, shell_name, partition):
+    """Generate an sbatch script for the statistics export."""
+    from saber_tpu.utils.slurm_submit import create_shellsubmit
+    cmd = (f"saber save statistics --input {input} "
+           f"--organelle-name {organelle_name}")
+    path = create_shellsubmit("saber-save", "saber-save-%j.out", shell_name,
+                              cmd, partition=partition)
+    click.echo(f"wrote {path}")
+
+
 @cli.command(name="gallery")
 @click.option("--input", required=True, help="results zarr")
 @click.option("--output", default=None, help="gallery directory")
