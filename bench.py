@@ -93,7 +93,9 @@ def main():
         import sys
 
         def timed(fn, n=3):
-            fn()
+            # warmup must include a transfer: remote backends defer compile
+            # until execution is actually forced
+            np.asarray(jax.tree_util.tree_leaves(fn())[0][..., :1])
             t0 = time.perf_counter()
             for _ in range(n):
                 out = fn()
