@@ -1,16 +1,20 @@
-// Fast connected-component labeling (2D/3D) via two-pass union-find.
+// Fast connected-component labeling (2D/3D) via run-based union-find.
 //
 // Native runtime component of saber-tpu: CC labeling is the framework's
 // hottest host-side operation (reference call sites: scipy.ndimage.label in
 // saber/segmenters/utils.py:108, filters/masks.py:89, analysis/
 // refine_membranes.py:145, classifier/datasets/singleZarrDataset.py:72).
 // XLA has no CC primitive (SURVEY.md §7 "hard parts"), so large label maps
-// run here instead of through scipy's generic N-D correlate machinery:
-// a flat raster scan with backward-neighbor merging, path-halving
-// union-find, and a compaction pass.
+// run here instead of through scipy's generic N-D correlate machinery.
+//
+// Algorithm: rows decompose into foreground runs; runs union with
+// overlapping runs in the (≤4) backward neighbor rows via a two-pointer
+// sweep — O(runs) instead of O(voxels·neighbors). Connectivity follows
+// scipy semantics (1 = faces, 2 = +edges, 3 = +corners); diagonal
+// adjacency widens the overlap window by one.
 //
 // Build: make -C saber_tpu/native  (g++ -O3 -shared -fPIC)
-// Binding: ctypes (saber_tpu/native/__init__.py).
+// Binding: ctypes (saber_tpu/native/cc.py).
 
 #include <cstdint>
 #include <cstring>
@@ -21,8 +25,6 @@ namespace {
 struct UnionFind {
   std::vector<int32_t> parent;
 
-  explicit UnionFind(size_t cap) { parent.reserve(cap); }
-
   int32_t make() {
     parent.push_back(static_cast<int32_t>(parent.size()));
     return parent.back();
@@ -30,7 +32,7 @@ struct UnionFind {
 
   int32_t find(int32_t x) {
     while (parent[x] != x) {
-      parent[x] = parent[parent[x]];  // path halving
+      parent[x] = parent[parent[x]];
       x = parent[x];
     }
     return x;
@@ -46,82 +48,107 @@ struct UnionFind {
   }
 };
 
+struct Run {
+  int32_t start;  // inclusive x
+  int32_t end;    // exclusive x
+  int32_t label;  // union-find id
+};
+
+// Merge runs of `cur` with overlapping runs of `prev`; `ext` widens the
+// window for diagonal adjacency (runs [s1,e1) and [s2,e2) are adjacent iff
+// s1 < e2 + ext and s2 < e1 + ext).
+inline void merge_rows(std::vector<Run>& cur, const std::vector<Run>& prev,
+                       int ext, UnionFind& uf) {
+  size_t j = 0;
+  for (auto& r : cur) {
+    // advance past prev runs that end before our window
+    while (j < prev.size() &&
+           static_cast<int64_t>(prev[j].end) + ext <= r.start)
+      ++j;
+    for (size_t k = j; k < prev.size() &&
+                       static_cast<int64_t>(prev[k].start) < r.end + ext;
+         ++k) {
+      uf.unite(r.label, prev[k].label);
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
-// mask: flat uint8 array (0 = background); out: int32 labels (same size).
-// shape: up to 3 dims; 2D arrays pass nz=1.
-// connectivity: 1 = faces only, 2 = +edges, 3 = +corners (scipy semantics).
-// Returns the number of components (labels 1..n), or -1 on error.
+// mask: flat uint8 (0 = background); out: int32 labels (same size).
+// connectivity: 1 = faces, 2 = +edges, 3 = +corners (scipy semantics).
+// 2D arrays pass nz = 1. Returns component count, or -1 on error.
 int64_t cc_label_3d(const uint8_t* mask, int64_t nz, int64_t ny, int64_t nx,
                     int connectivity, int32_t* out) {
   const int64_t n = nz * ny * nx;
   if (n <= 0) return -1;
-  std::memset(out, 0, sizeof(int32_t) * n);
 
-  // backward neighbor offsets (dz, dy, dx) for the requested connectivity
-  struct Off { int dz, dy, dx; };
-  std::vector<Off> offs;
-  for (int dz = -1; dz <= 0; ++dz)
-    for (int dy = -1; dy <= 1; ++dy)
-      for (int dx = -1; dx <= 1; ++dx) {
-        if (dz == 0 && (dy > 0 || (dy == 0 && dx >= 0))) continue;
-        int order = (dz != 0) + (dy != 0) + (dx != 0);
-        if (order == 0 || order > connectivity) continue;
-        offs.push_back({dz, dy, dx});
-      }
+  UnionFind uf;
+  // runs for the previous z-plane (ny rows) and the current plane
+  std::vector<std::vector<Run>> prev_plane(ny), cur_plane(ny);
 
-  UnionFind uf(1024);
-  // provisional labels stored as (index into uf) + 1 in out
+  const int same_plane_ext = connectivity >= 2 ? 1 : 0;  // (z, y-1)
+  const int below_same_ext = connectivity >= 2 ? 1 : 0;  // (z-1, y)
+  const bool below_diag = connectivity >= 2;             // (z-1, y±1)
+  const int below_diag_ext = connectivity >= 3 ? 1 : 0;
+
   for (int64_t z = 0; z < nz; ++z) {
+    for (auto& row : cur_plane) row.clear();
     for (int64_t y = 0; y < ny; ++y) {
-      const int64_t row = (z * ny + y) * nx;
-      for (int64_t x = 0; x < nx; ++x) {
-        const int64_t i = row + x;
-        if (!mask[i]) continue;
-        int32_t lbl = -1;
-        for (const auto& o : offs) {
-          const int64_t zz = z + o.dz, yy = y + o.dy, xx = x + o.dx;
-          if (zz < 0 || yy < 0 || yy >= ny || xx < 0 || xx >= nx) continue;
-          const int64_t j = (zz * ny + yy) * nx + xx;
-          const int32_t nl = out[j];
-          if (nl > 0) {
-            if (lbl < 0)
-              lbl = nl - 1;
-            else
-              uf.unite(lbl, nl - 1);
-          }
+      const uint8_t* mrow = mask + (z * ny + y) * nx;
+      auto& runs = cur_plane[y];
+      int64_t x = 0;
+      while (x < nx) {
+        if (!mrow[x]) {
+          ++x;
+          continue;
         }
-        if (lbl < 0) lbl = uf.make();
-        out[i] = lbl + 1;
+        int64_t s = x;
+        while (x < nx && mrow[x]) ++x;
+        runs.push_back({static_cast<int32_t>(s), static_cast<int32_t>(x),
+                        uf.make()});
+      }
+      if (runs.empty()) continue;
+      if (y > 0) merge_rows(runs, cur_plane[y - 1], same_plane_ext, uf);
+      if (z > 0) {
+        merge_rows(runs, prev_plane[y], below_same_ext, uf);
+        if (below_diag) {
+          if (y > 0) merge_rows(runs, prev_plane[y - 1], below_diag_ext, uf);
+          if (y + 1 < ny)
+            merge_rows(runs, prev_plane[y + 1], below_diag_ext, uf);
+        }
+      }
+    }
+    // paint provisional ids for this plane (final remap happens below via
+    // a second sweep over stored runs — store them)
+    std::swap(prev_plane, cur_plane);
+    // stash the plane's runs into out as provisional ids (+1)
+    for (int64_t y = 0; y < ny; ++y) {
+      int32_t* orow = out + (z * ny + y) * nx;
+      std::memset(orow, 0, sizeof(int32_t) * nx);
+      for (const auto& r : prev_plane[y]) {
+        for (int32_t xx = r.start; xx < r.end; ++xx) orow[xx] = r.label + 1;
       }
     }
   }
 
-  // compact roots to 1..n_components
+  // compact roots to 1..n_components in first-appearance order
   std::vector<int32_t> remap(uf.parent.size(), 0);
   int32_t next = 0;
-  for (size_t k = 0; k < uf.parent.size(); ++k) {
-    const int32_t r = uf.find(static_cast<int32_t>(k));
-    if (remap[r] == 0 && static_cast<size_t>(r) == k) remap[r] = ++next;
-  }
-  // roots found lazily above only when root==k in order; ensure all roots map
-  for (size_t k = 0; k < uf.parent.size(); ++k) {
-    const int32_t r = uf.find(static_cast<int32_t>(k));
-    if (remap[r] == 0) remap[r] = ++next;
-  }
-
   for (int64_t i = 0; i < n; ++i) {
-    if (out[i] > 0) out[i] = remap[uf.find(out[i] - 1)];
+    if (out[i] > 0) {
+      const int32_t r = uf.find(out[i] - 1);
+      if (remap[r] == 0) remap[r] = ++next;
+      out[i] = remap[r];
+    }
   }
   return next;
 }
 
 int64_t cc_label_2d(const uint8_t* mask, int64_t ny, int64_t nx,
                     int connectivity, int32_t* out) {
-  // 2D: connectivity 1 = 4-conn, 2 = 8-conn; reuse the 3D kernel with nz=1
-  // (dz offsets never fire).
   return cc_label_3d(mask, 1, ny, nx, connectivity, out);
 }
 
