@@ -42,6 +42,12 @@ from saber_tpu.ops.amg_utils import (
 )
 
 MASK_THRESHOLD = 0.0
+# torch's SAM2ImagePredictor normalizes [0,1] inputs with ImageNet stats
+# before the encoder (the reference AMG path inherits this); the video path
+# does NOT (saber feeds its own [-3,1] frames) — so normalization lives
+# here, not in encode_image.
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def generate_crop_boxes(im_size: Tuple[int, int], n_layers: int,
@@ -234,6 +240,7 @@ class AutomaticMaskGenerator:
                     jnp.asarray(image[c[1]:c[3], c[0]:c[2]], jnp.float32),
                     (model_size, model_size, 3), method="bilinear"))
                 for c in (crop_boxes[i] for i in cids)])
+            resized = (resized - _IMAGENET_MEAN) / _IMAGENET_STD
             bb = self._encode(resized)
             for k, ci in enumerate(cids):
                 backbones[ci] = jax.tree.map(
