@@ -248,6 +248,25 @@ class SAM2(nn.Module):
         return masks, iou, obj_logits
 
 
+def bake_pos_embed(params, config: SAM2Config):
+    """Pre-interpolate the Hiera background pos embedding to the /4 grid.
+
+    The bicubic resize otherwise re-runs inside every encoder call (~20% of
+    encoder time at 1024² per the device profile). The baked params remain
+    correct for this image_size only; Hiera skips the resize when shapes
+    already match.
+    """
+    trunk = dict(params["trunk"])
+    bkg = jnp.asarray(trunk["pos_embed"])
+    side = config.image_size // 4
+    if bkg.shape[1:3] != (side, side):
+        trunk["pos_embed"] = jax.image.resize(
+            bkg, (1, side, side, bkg.shape[-1]), method="bicubic")
+    out = dict(params)
+    out["trunk"] = trunk
+    return out
+
+
 def build_sam2(cfg_name: str = "tiny", image_size: int = 1024,
                dtype=jnp.float32, num_maskmem: int = 7,
                checkpoint: Optional[str] = None, seed: int = 0):
@@ -270,4 +289,5 @@ def build_sam2(cfg_name: str = "tiny", image_size: int = 1024,
         pts = jnp.zeros((1, 1, 2), jnp.float32)
         lbl = jnp.ones((1, 1), jnp.int32)
         params = model.init(rng, dummy, pts, lbl)["params"]
+    params = bake_pos_embed(params, config)
     return model, params

@@ -99,7 +99,8 @@ class TestFullConverter:
         shapes = expected_state_dict_shapes(m)
         sd = {k: (rng.standard_normal(v).astype(np.float32) * 0.02)
               for k, v in shapes.items()}
-        params = convert_torch_state_dict(sd, m)
+        from saber_tpu.models.sam2 import bake_pos_embed
+        params = bake_pos_embed(convert_torch_state_dict(sd, m), m.config)
 
         # converted tree must exactly match the init tree's structure
         init_shapes = jax.tree.map(lambda x: tuple(x.shape), init_params)
