@@ -29,6 +29,30 @@ from flax import linen as nn
 from saber_tpu.models.attention import scaled_dot_product_attention
 
 
+class LayerNormFast(nn.Module):
+    """LayerNorm with fp32 statistics but bf16 elementwise normalize.
+
+    flax LayerNorm(dtype=fp32) materializes full fp32 copies of the
+    activation (the `convert_reduce_fusion` ops were 27% of encoder time in
+    the device profile); here only the per-row mean/rstd are fp32 — the
+    O(N·C) multiply/add runs at the input dtype's bandwidth. Param tree
+    matches flax LayerNorm (scale/bias), so checkpoints convert unchanged.
+    """
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        y = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
 def window_partition(x: jnp.ndarray, window: int):
     """(B, H, W, C) → (B·nW, window, window, C) with zero padding."""
     b, h, w, c = x.shape
@@ -106,7 +130,7 @@ class MultiScaleBlock(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        x = LayerNormFast(name="norm1")(x)
 
         if self.dim != self.dim_out:
             # project + pool the shortcut at stage transitions
@@ -133,7 +157,7 @@ class MultiScaleBlock(nn.Module):
             x = window_unpartition(x, window, pad_hw, hw)
 
         x = shortcut + x
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        y = LayerNormFast(name="norm2")(x)
         hidden = int(self.dim_out * self.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
