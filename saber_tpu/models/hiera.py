@@ -27,30 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from saber_tpu.models.attention import scaled_dot_product_attention
-
-
-class LayerNormFast(nn.Module):
-    """LayerNorm with fp32 statistics but bf16 elementwise normalize.
-
-    flax LayerNorm(dtype=fp32) materializes full fp32 copies of the
-    activation (the `convert_reduce_fusion` ops were 27% of encoder time in
-    the device profile); here only the per-row mean/rstd are fp32 — the
-    O(N·C) multiply/add runs at the input dtype's bandwidth. Param tree
-    matches flax LayerNorm (scale/bias), so checkpoints convert unchanged.
-    """
-    epsilon: float = 1e-6
-
-    @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,))
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + self.epsilon)
-        y = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
-        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+from saber_tpu.models.norms import LayerNormFast
 
 
 def window_partition(x: jnp.ndarray, window: int):

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from saber_tpu.models.attention import scaled_dot_product_attention
+from saber_tpu.models.norms import LayerNormFast
 
 
 class AttentionDS(nn.Module):
@@ -64,7 +65,7 @@ class TwoWayAttentionBlock(nn.Module):
             attn_out = AttentionDS(self.embedding_dim, self.num_heads,
                                    dtype=self.dtype, name="self_attn")(q, q, queries)
             queries = queries + attn_out
-        queries = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(queries)
+        queries = LayerNormFast(name="norm1")(queries)
 
         # token → image cross-attention
         q = queries + query_pe
@@ -73,14 +74,14 @@ class TwoWayAttentionBlock(nn.Module):
                                self.attention_downsample_rate, dtype=self.dtype,
                                name="cross_attn_token_to_image")(q, k, keys)
         queries = queries + attn_out
-        queries = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(queries)
+        queries = LayerNormFast(name="norm2")(queries)
 
         # MLP on tokens
         mlp = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_lin1")(queries)
         mlp = nn.relu(mlp)
         mlp = nn.Dense(self.embedding_dim, dtype=self.dtype, name="mlp_lin2")(mlp)
         queries = queries + mlp
-        queries = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm3")(queries)
+        queries = LayerNormFast(name="norm3")(queries)
 
         # image → token cross-attention
         q = queries + query_pe
@@ -89,7 +90,7 @@ class TwoWayAttentionBlock(nn.Module):
                                self.attention_downsample_rate, dtype=self.dtype,
                                name="cross_attn_image_to_token")(k, q, queries)
         keys = keys + attn_out
-        keys = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm4")(keys)
+        keys = LayerNormFast(name="norm4")(keys)
         return queries, keys
 
 
@@ -123,8 +124,7 @@ class TwoWayTransformer(nn.Module):
                                self.attention_downsample_rate, dtype=self.dtype,
                                name="final_attn_token_to_image")(q, k, keys)
         queries = queries + attn_out
-        queries = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
-                               name="norm_final_attn")(queries)
+        queries = LayerNormFast(name="norm_final_attn")(queries)
         return queries, keys
 
 
@@ -215,7 +215,7 @@ class MaskDecoder(nn.Module):
             feat_s0, feat_s1 = high_res_features
             feat_s1 = nn.Conv(c // 4, (1, 1), dtype=self.dtype, name="conv_s1")(feat_s1)
             up = up + feat_s1
-        up = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="upscale_ln")(up)
+        up = LayerNormFast(name="upscale_ln")(up)
         up = nn.gelu(up, approximate=False)
         up = nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
                               transpose_kernel=True, name="upscale_conv2")(up)

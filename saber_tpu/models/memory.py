@@ -22,6 +22,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from saber_tpu.models.norms import LayerNormFast
 from saber_tpu.models.position_encoding import apply_rotary_enc, compute_axial_cis
 
 
@@ -53,7 +54,7 @@ class MaskDownSampler(nn.Module):
                         strides=(self.stride, self.stride),
                         padding=self.kernel_size // 2, dtype=self.dtype,
                         name=f"encoder_{i}_conv")(x)
-            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name=f"encoder_{i}_ln")(x)
+            x = LayerNormFast(name=f"encoder_{i}_ln")(x)
             x = nn.gelu(x, approximate=False)
             ch = ch_out
         return nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="final_conv")(x)
@@ -69,7 +70,7 @@ class CXBlock(nn.Module):
         inp = x
         x = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
                     dtype=self.dtype, name="dwconv")(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        x = LayerNormFast(name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
@@ -154,14 +155,14 @@ class MemoryAttentionLayer(nn.Module):
     def __call__(self, tgt, memory, pos=None, query_pos=None,
                  num_k_exclude_rope: int = 0, attn_bias=None):
         # self-attention (RoPE, pre-norm)
-        tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(tgt)
+        tgt2 = LayerNormFast(epsilon=1e-5, name="norm1")(tgt)
         tgt2 = RoPEAttention(self.d_model, num_heads=1, dtype=self.dtype,
                              name="self_attn")(tgt2, tgt2, tgt2)
         tgt = tgt + tgt2
 
         # cross-attention into memory (kv_in_dim=64, k positions rotated
         # per memory frame, obj-ptr tokens excluded)
-        tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tgt)
+        tgt2 = LayerNormFast(epsilon=1e-5, name="norm2")(tgt)
         k = memory + pos if pos is not None else memory
         tgt2 = RoPEAttention(self.d_model, num_heads=1, kv_in_dim=64,
                              rope_k_repeat=True, dtype=self.dtype,
@@ -171,7 +172,7 @@ class MemoryAttentionLayer(nn.Module):
         tgt = tgt + tgt2
 
         # FFN
-        tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(tgt)
+        tgt2 = LayerNormFast(epsilon=1e-5, name="norm3")(tgt)
         tgt2 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt2)
         tgt2 = nn.relu(tgt2)
         tgt2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(tgt2)
@@ -195,4 +196,4 @@ class MemoryAttention(nn.Module):
                                      name=f"layers_{i}")(
                 x, memory, pos=memory_pos,
                 num_k_exclude_rope=num_obj_ptr_tokens, attn_bias=attn_bias)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+        return LayerNormFast(epsilon=1e-5, name="norm")(x)
