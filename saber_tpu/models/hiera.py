@@ -74,14 +74,21 @@ class MultiScaleAttention(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
         b, h, w, _ = x.shape
-        head_dim = self.dim_out // self.num_heads
-        qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        d = self.dim_out
+        head_dim = d // self.num_heads
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)  # (B,H,W,3C)
+        # contiguous last-dim splits (the (…,3,heads,hd) reshape + index
+        # pattern lowers to strided copies; these are free slices).
+        # NOTE: torch packs qkv as (3, heads, hd) along the output axis, so
+        # the converter's qkv kernel must match this [q|k|v] layout — it
+        # does: torch weight rows are ordered q,k,v too.
+        q = qkv[..., :d].reshape(b, h * w, self.num_heads, head_dim)
+        k = qkv[..., d:2 * d].reshape(b, h * w, self.num_heads, head_dim)
+        v = qkv[..., 2 * d:].reshape(b, h * w, self.num_heads, head_dim)
 
         if self.q_stride is not None:
             sh, sw = self.q_stride
-            q = q.reshape(b, h, w, self.dim_out)
+            q = q.reshape(b, h, w, d)
             q = nn.max_pool(q, window_shape=(sh, sw), strides=(sh, sw))
             hq, wq = q.shape[1], q.shape[2]
             q = q.reshape(b, hq * wq, self.num_heads, head_dim)
