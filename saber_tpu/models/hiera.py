@@ -164,8 +164,9 @@ class Hiera(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # Store the background pos embedding at full /4 resolution instead of
     # re-interpolating the (7,7) torch parameterization inside every call
-    # (the bicubic resize costs ~20% of encoder time at 1024²; checkpoint
-    # loading interpolates once in weights.py/bake_pos_embed).
+    # (checkpoint loading interpolates once in weights.py/bake_pos_embed;
+    # measured effect on the remote v5e was within noise — kept because it
+    # removes a per-call convolution and costs nothing).
     baked_pos_embed: bool = True
 
     @property
@@ -180,10 +181,9 @@ class Hiera(nn.Module):
     def _pos_embed(self, bkg, win, h, w):
         """Interpolate background embedding to (h, w), tile window embedding.
 
-        When the stored embedding already has shape (1, h, w, C) — baked by
-        ``bake_pos_embed`` for a fixed inference size — the bicubic resize
-        (a surprisingly expensive per-call convolution, ~20% of encoder
-        time at 1024²) is skipped entirely.
+        When the stored embedding already has shape (1, h, w, C) — baked
+        by ``bake_pos_embed`` for a fixed inference size — the per-call
+        bicubic resize is skipped entirely.
         """
         if bkg.shape[1:3] == (h, w):
             pos = bkg

@@ -8,12 +8,13 @@ from flax import linen as nn
 class LayerNormFast(nn.Module):
     """LayerNorm with fp32 statistics and input-dtype elementwise math.
 
-    flax LayerNorm(dtype=fp32) materializes fp32 copies of bf16
-    activations (`convert_reduce_fusion` was 27% of encoder time in the
-    device profile); here only per-row mean/rstd are fp32 — the O(N·C)
-    normalize runs at the input dtype's bandwidth. Param tree matches flax
-    LayerNorm (scale/bias), so checkpoint conversion is unchanged. With
-    fp32 inputs this is exactly standard LayerNorm.
+    Keeps per-row mean/rstd in fp32 while the O(N·C) normalize runs at
+    the input dtype's bandwidth (flax LayerNorm(dtype=fp32) upcasts the
+    whole activation; XLA mostly fuses that anyway — measured effect was
+    within noise — but this form guarantees the bf16 elementwise path and
+    documents the precision contract). Param tree matches flax LayerNorm
+    (scale/bias), so checkpoint conversion is unchanged. With fp32 inputs
+    this is exactly standard LayerNorm.
     """
     epsilon: float = 1e-6
 

@@ -251,10 +251,9 @@ class SAM2(nn.Module):
 def bake_pos_embed(params, config: SAM2Config):
     """Pre-interpolate the Hiera background pos embedding to the /4 grid.
 
-    The bicubic resize otherwise re-runs inside every encoder call (~20% of
-    encoder time at 1024² per the device profile). The baked params remain
-    correct for this image_size only; Hiera skips the resize when shapes
-    already match.
+    The bicubic resize otherwise re-runs inside every encoder call. The
+    baked params remain correct for this image_size only; Hiera skips the
+    resize when shapes already match.
     """
     trunk = dict(params["trunk"])
     bkg = jnp.asarray(trunk["pos_embed"])
