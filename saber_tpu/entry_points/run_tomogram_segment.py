@@ -28,7 +28,7 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
                  min_mask_area: int = 50, session_id: str = "0",
                  display: bool = False, num_devices: Optional[int] = None,
                  gallery: bool = True, resume: bool = False,
-                 max_retries: int = 0):
+                 max_retries: int = 0, filter_threshold: float = 0.5):
     """Batch 3D segmentation over all runs in `input`.
 
     ``resume`` skips runs already present in the output zarr (batch
@@ -57,6 +57,7 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
     if len(runs) == 1 and display:
         models = tomogram_workflow(0, sam2_cfg, model_config, model_weights,
                                    min_mask_area, num_slabs, target_class)
+        models["segmenter"].filter_threshold = filter_threshold
         segment_tomogram_core(runs[0], models["segmenter"], writer,
                               slab_thickness, num_slabs, delta_z,
                               target_class, display_segmentation=True,
@@ -70,6 +71,7 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
         num_devices=num_devices, verbose=True, max_retries=max_retries)
 
     def work(run, device_id, models):
+        models["segmenter"].filter_threshold = filter_threshold
         return segment_tomogram_core(
             run, models["segmenter"], writer, slab_thickness, num_slabs,
             delta_z, target_class, display_segmentation=False,
@@ -104,6 +106,8 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
 @click.option("--resume", is_flag=True,
               help="skip runs already present in the output zarr")
 @click.option("--max-retries", default=0, show_default=True)
+@click.option("--filter-threshold", default=0.5, show_default=True,
+              help="min z-presence score to keep a mask on a slice")
 def tomograms(**kwargs):
     """Zero-shot / classifier-filtered 3D segmentation of tomograms."""
     run_tomo_seg(**kwargs)
