@@ -63,6 +63,10 @@ class Predictor:
         """images/masks: (B, 320, 320) → (B, num_classes) probabilities."""
         if self.is_sam2:
             from saber_tpu.models.sam2 import SAM2
+            size = self.backbone.config.image_size
+            if images.shape[1] != size or images.shape[2] != size:
+                images = jax.image.resize(
+                    images, (images.shape[0], size, size), "bilinear")
             rgb = jnp.repeat(images[..., None], 3, axis=-1)
             bb = self.backbone.apply({"params": self.backbone_params}, rgb,
                                      method=SAM2.encode_image)

@@ -90,8 +90,14 @@ class ClassifierTrainer:
 
     def _embed(self, images: jnp.ndarray) -> jnp.ndarray:
         """Frozen SAM2 features for (B, S, S) grayscale crops — stays on
-        device (no numpy detour, unlike reference SAM2.py:130-147)."""
+        device (no numpy detour, unlike reference SAM2.py:130-147). Crops
+        resize to the backbone's input size first (the reference's
+        set_image_batch resizes to 1024 the same way)."""
         from saber_tpu.models.sam2 import SAM2
+        size = self.backbone.config.image_size
+        if images.shape[1] != size or images.shape[2] != size:
+            images = jax.image.resize(
+                images, (images.shape[0], size, size), "bilinear")
         rgb = jnp.repeat(images[..., None], 3, axis=-1)
         bb = self.backbone.apply({"params": self.backbone_params}, rgb,
                                  method=SAM2.encode_image)

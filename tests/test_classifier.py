@@ -141,3 +141,25 @@ def test_predictor_roundtrip_and_config_derivation(tmp_path, rng):
     assert cfg.amg_cfg.npoints == 8
     assert cfg.amg_cfg.pred_iou_thresh == 0.6
     assert cfg.cfg == "tiny"
+
+
+def test_sam2_family_classifier_trains(tmp_path, rng):
+    """Frozen-SAM2-backbone classifier trains end to end (tiny backbone,
+    small crops) — the reference's flagship classifier family."""
+    p = _make_training_zarr(tmp_path / "train.zarr", rng, n_runs=3)
+    from saber_tpu.classifier.datasets import ZarrSegmentationDataset, batch_iterator
+    ds = ZarrSegmentationDataset(p, TrainTransform(crop_size=64, seed=0))
+    trainer = ClassifierTrainer(
+        "SAM2", 2, sam2_cfg="tiny", num_epochs=1, use_ema=False,
+        results_dir=str(tmp_path / "res"), backbone_image_size=64)
+    hist = trainer.train(lambda: batch_iterator(ds, 4),
+                         labels={"1": "square"}, amg_params={"npoints": 4})
+    assert np.isfinite(hist["train_loss"][0])
+    # predictor loads the SAM2-family config and scores masks
+    pred = Predictor(str(tmp_path / "res"))
+    img = rng.standard_normal((96, 96)).astype(np.float32)
+    masks = np.zeros((1, 96, 96), np.uint8)
+    masks[0, 20:60, 20:60] = 1
+    probs = pred.batch_predict(img, masks, batchsize=2)
+    assert probs.shape == (1, 2)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
