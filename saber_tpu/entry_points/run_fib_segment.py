@@ -21,7 +21,8 @@ def run_fib_segment(input: str, output: str = "fib_masks.npy",
                     input_resolution: Optional[float] = None,
                     min_mask_area: int = 100, save_movie: bool = True,
                     image_size: int = 1024,
-                    amg_cfg=None):
+                    amg_cfg=None, parallel_seeds: bool = False,
+                    num_devices=None):
     vol = read_movie(input, target_resolution, input_resolution)
 
     classifier = None
@@ -38,8 +39,14 @@ def run_fib_segment(input: str, output: str = "fib_masks.npy",
                                 image_size=image_size)
 
     seg = propagationSegmenter(cfg=cfg, min_mask_area=min_mask_area)
-    masks = seg.segment(vol, ini_depth=ini_depth, nframes=nframes,
-                        target_class=target_class)
+    if parallel_seeds:
+        masks = seg.parallel_segment(vol, ini_depth=ini_depth,
+                                     nframes=nframes,
+                                     target_class=target_class,
+                                     num_devices=num_devices)
+    else:
+        masks = seg.segment(vol, ini_depth=ini_depth, nframes=nframes,
+                            target_class=target_class)
     np.save(output, masks)
     if save_movie:
         from saber_tpu.visualization.results import export_movie
@@ -62,6 +69,9 @@ def run_fib_segment(input: str, output: str = "fib_masks.npy",
 @click.option("--target-resolution", type=float, default=None)
 @click.option("--input-resolution", type=float, default=None)
 @click.option("--min-mask-area", default=100, show_default=True)
+@click.option("--parallel-seeds", is_flag=True,
+              help="farm seed propagations over all chips")
+@click.option("--num-devices", type=int, default=None)
 def fib(**kwargs):
     """Segment FIB-SEM stacks by seed-and-propagate."""
     run_fib_segment(**kwargs)

@@ -20,7 +20,8 @@ def run_light_segment(input: str, output: str = "light_masks.npy",
                       nframes: Optional[int] = None,
                       min_mask_area: int = 100, save_movie: bool = True,
                       image_size: int = 1024,
-                      amg_cfg=None):
+                      amg_cfg=None, parallel_seeds: bool = False,
+                      num_devices=None):
     vol = read_movie(input)
 
     if model_config is not None:
@@ -36,8 +37,14 @@ def run_light_segment(input: str, output: str = "light_masks.npy",
                                 image_size=image_size)
 
     seg = propagationSegmenter(cfg=cfg, min_mask_area=min_mask_area)
-    masks = seg.segment(vol, ini_depth=ini_depth, nframes=nframes,
-                        target_class=target_class)
+    if parallel_seeds:
+        masks = seg.parallel_segment(vol, ini_depth=ini_depth,
+                                     nframes=nframes,
+                                     target_class=target_class,
+                                     num_devices=num_devices)
+    else:
+        masks = seg.segment(vol, ini_depth=ini_depth, nframes=nframes,
+                            target_class=target_class)
     np.save(output, masks)
     if save_movie:
         from saber_tpu.visualization.results import export_movie
@@ -56,6 +63,9 @@ def run_light_segment(input: str, output: str = "light_masks.npy",
 @click.option("--ini-depth", default=10, show_default=True)
 @click.option("--nframes", type=int, default=None)
 @click.option("--min-mask-area", default=100, show_default=True)
+@click.option("--parallel-seeds", is_flag=True,
+              help="farm seed propagations over all chips")
+@click.option("--num-devices", type=int, default=None)
 def light(**kwargs):
     """Segment light-microscopy movies by seed-and-propagate."""
     run_light_segment(**kwargs)

@@ -102,6 +102,52 @@ class propagationSegmenter(saber3D):
                     max_conf[update] = conf
         return final
 
+    def parallel_segment(self, volume: np.ndarray, ini_depth: int,
+                         nframes: Optional[int] = None, target_class: int = 1,
+                         text_prompt: Optional[str] = None,
+                         num_devices: Optional[int] = None):
+        """Multi-chip seed farming: every ``ini_depth``-th seed slice
+        propagates on its own chip (per-seed propagations are independent —
+        the within-volume parallelism the reference cannot express with its
+        serial loop, SURVEY.md §2c.5). Per-chip model replicas come from a
+        DevicePool; results max-merge exactly like ``single_segment``.
+        """
+        from saber_tpu.parallel.pool import DevicePool
+
+        seeds = list(range(2, volume.shape[0], ini_depth))
+        cfg = self.adapter_cfg
+        min_area = self.min_mask_area
+        filter_threshold = self.filter_threshold
+
+        def init_fn(device_id):
+            seg = propagationSegmenter(deviceID=device_id, cfg=cfg,
+                                       min_mask_area=min_area)
+            seg.filter_threshold = filter_threshold
+            seg.nframes = nframes
+            return {"seg": seg}
+
+        def work(seed, device_id, models):
+            seg = models["seg"]
+            masks = seg.segment_image(volume[seed], display=False,
+                                      target_class=target_class,
+                                      text_prompt=text_prompt)
+            if len(masks) == 0:
+                return None
+            m3d = seg.segment_3d(volume,
+                                 [m["segmentation"] for m in masks],
+                                 ann_frame_idx=seed)
+            if target_class > 0:
+                m3d = (m3d > 0).astype(np.uint8)
+            return m3d
+
+        pool = DevicePool(init_fn=init_fn, num_devices=num_devices)
+        out = pool.execute(work, seeds)
+        final = np.zeros(volume.shape, dtype=np.uint16)
+        for rec in out["results"]:
+            if rec["success"] and rec["result"] is not None:
+                np.maximum(final, rec["result"], out=final)
+        return utils.separate_masks(final)
+
     def slice_by_slice(self, volume: np.ndarray, text_prompt: str):
         """2D-only fallback (propagation.py:163-189)."""
         final = np.zeros(volume.shape, dtype=np.uint16)

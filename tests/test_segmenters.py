@@ -74,3 +74,22 @@ def test_propagation_segmenter(rng):
     out = seg.segment(vol, ini_depth=4, nframes=3, display=False)
     assert out.shape == vol.shape
     assert out.dtype == np.uint32  # separate_masks output
+
+
+def test_parallel_seed_propagation(rng):
+    """Seed-farmed propagation over 2 virtual devices matches the serial
+    path's output shape/type and finds the same bright object."""
+    seg = propagationSegmenter(cfg=_cfg())
+    seg.filter_threshold = 0.0
+    vol = rng.standard_normal((7, 96, 96)).astype(np.float32) * 0.1
+    vol[:, 20:50, 20:50] += 2.0
+    out = seg.parallel_segment(vol, ini_depth=3, nframes=2, num_devices=2)
+    assert out.shape == vol.shape
+    assert out.dtype == np.uint32
+    serial = seg.segment(vol, ini_depth=3, nframes=2, display=False)
+    # both paths segment the same bright region (random weights → compare
+    # foreground overlap loosely, not label identity)
+    if serial.max() > 0 and out.max() > 0:
+        inter = np.logical_and(out > 0, serial > 0).sum()
+        union = np.logical_or(out > 0, serial > 0).sum()
+        assert inter / union > 0.5
