@@ -204,3 +204,29 @@ def test_split_and_info(tmp_path, rng):
     from saber_tpu.classifier.preprocess.training_data_info import training_data_info
     info = training_data_info(train)
     assert info["runs"] == 6
+
+
+def test_save_statistics_and_coordinates(tmp_path, monkeypatch, rng):
+    """`saber save statistics/coordinates` over a labeled zarr."""
+    monkeypatch.chdir(tmp_path)
+    root = zarrlite.open_group(str(tmp_path / "seg.zarr"), "w")
+    g = root.create_group("run_A")
+    g.create_dataset("0", data=rng.random((8, 24, 24)).astype(np.float32))
+    lab = np.zeros((8, 24, 24), np.uint8)
+    lab[2:6, 6:16, 6:16] = 1
+    g.create_group("labels").create_dataset("0", data=lab)
+
+    from saber_tpu.main import routines
+    runner = CliRunner()
+    out = runner.invoke(routines, ["save", "statistics",
+                                   "--input", str(tmp_path / "seg.zarr"),
+                                   "--output-csv", "st.csv"])
+    assert out.exit_code == 0, out.output
+    rows = open("st.csv").read().strip().splitlines()
+    assert len(rows) == 2 and rows[1].startswith("run_A,1,")
+
+    out = runner.invoke(routines, ["save", "coordinates",
+                                   "--input", str(tmp_path / "seg.zarr")])
+    assert out.exit_code == 0, out.output
+    picks = [f for f in os.listdir(".") if f.endswith("_picks.json")]
+    assert picks, "no pick sidecars written"
