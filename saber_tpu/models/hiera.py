@@ -76,7 +76,11 @@ class MultiScaleAttention(nn.Module):
         b, h, w, _ = x.shape
         d = self.dim_out
         head_dim = d // self.num_heads
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)  # (B,H,W,3C)
+        # flatten spatial dims first: Dense on 4-D NHWC tensors can lower
+        # to 1×1 convolutions with layout-transition copies; on (N, C) it
+        # is a plain GEMM
+        xt = x.reshape(b, h * w, x.shape[-1])
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(xt)  # (B,T,3C)
         # contiguous last-dim splits (the (…,3,heads,hd) reshape + index
         # pattern lowers to strided copies; these are free slices).
         # NOTE: torch packs qkv as (3, heads, hd) along the output axis, so
@@ -143,10 +147,12 @@ class MultiScaleBlock(nn.Module):
         x = shortcut + x
         y = LayerNormFast(name="norm2")(x)
         hidden = int(self.dim_out * self.mlp_ratio)
-        y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + y
+        bb, hh, ww, cc = y.shape
+        yt = y.reshape(bb, hh * ww, cc)  # tokens: plain GEMMs, no conv lowering
+        yt = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(yt)
+        yt = nn.gelu(yt, approximate=False)
+        yt = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_fc2")(yt)
+        return x + yt.reshape(bb, hh, ww, self.dim_out)
 
 
 class Hiera(nn.Module):
