@@ -1,0 +1,108 @@
+"""BaseAdapter contract tests over the SAM2 adapter (SURVEY.md §4 test
+strategy item 2): every ABC method, with the reference's shapes/semantics."""
+
+import numpy as np
+import pytest
+
+from saber_tpu.adapters.base import BaseAdapter, get_adapter
+from saber_tpu.config import AMGConfig, SAM2AdapterConfig, SAM3AdapterConfig
+
+
+@pytest.fixture(scope="module")
+def adapter():
+    cfg = SAM2AdapterConfig(
+        cfg="tiny", image_size=128, dtype="float32", num_maskmem=2,
+        amg_cfg=AMGConfig(npoints=4, points_per_batch=8, pred_iou_thresh=0.05,
+                          stability_score_thresh=0.0, crop_n_layers=0,
+                          use_m2m=False, max_masks=8),
+        min_mask_area=10)
+    return get_adapter(cfg)
+
+
+@pytest.fixture()
+def volume(rng):
+    vol = rng.standard_normal((6, 80, 80)).astype(np.float32) * 0.1
+    vol[:, 25:55, 25:55] += 2.0
+    return vol
+
+
+def test_is_base_adapter(adapter):
+    assert isinstance(adapter, BaseAdapter)
+
+
+def test_segment_image_2d_schema(adapter, rng):
+    img = rng.standard_normal((80, 80)).astype(np.float32)
+    img[20:60, 20:60] += 2.0
+    masks = adapter.segment_image_2d(img)
+    assert isinstance(masks, list)
+    for m in masks:
+        assert m["segmentation"].shape == (80, 80)
+        assert m["area"] == int(m["segmentation"].sum())
+
+
+def test_set_volume_and_state(adapter, volume):
+    adapter.set_volume(volume)
+    st = adapter.inference_state
+    assert st["num_frames"] == 6
+    assert st["video_height"] == 80 and st["video_width"] == 80
+
+
+def test_add_new_mask_and_points(adapter, volume):
+    adapter.set_volume(volume)
+    mask = np.zeros((80, 80), np.float32)
+    mask[25:55, 25:55] = 1
+    fidx, obj_ids, _ = adapter.add_new_mask(3, 1, mask)
+    assert fidx == 3 and obj_ids == [1]
+
+    fidx, obj_ids, video_mask = adapter.add_new_points_or_box(
+        3, 2, points=[[40, 40]], labels=[1])
+    assert 2 in obj_ids
+    assert video_mask.shape == (1, 80, 80)
+
+    fidx, obj_ids, video_mask = adapter.add_new_points_or_box(
+        3, 3, box=[20, 20, 60, 60])
+    assert 3 in obj_ids
+    adapter.reset_state()
+    assert adapter.inference_state["seeds"] == {}
+
+
+def test_propagate_in_video_iterator(adapter, volume):
+    adapter.set_volume(volume)
+    mask = np.zeros((80, 80), np.float32)
+    mask[25:55, 25:55] = 1
+    adapter.add_new_mask(2, 1, mask)
+    frames = []
+    for fidx, obj_ids, low, painted, scores in adapter.propagate_in_video(
+            start_frame_idx=2, max_frame_num_to_track=2):
+        frames.append(fidx)
+        assert obj_ids == [1]
+        assert painted.shape == (80, 80)
+    assert frames == [2, 3, 4]  # seed first, then forward window
+    adapter.reset_state()
+
+
+def test_segment_volume_contract(adapter, volume):
+    adapter.set_volume(volume)
+    mask = np.zeros((80, 80), np.float32)
+    mask[25:55, 25:55] = 1
+    out = adapter.segment_volume(start_frame_idx=3, masks=[mask],
+                                 min_presence_score=0.0)
+    assert out.shape == volume.shape
+    assert out.dtype == np.uint16
+    # frame metrics populated for every slice and object
+    assert set(adapter.frame_metrics.keys()) == set(range(6))
+    assert 1 in adapter.frame_metrics[0]
+    assert "presence_score" in adapter.frame_metrics[0][1]
+    adapter.reset_state()
+
+
+def test_segment_volume_empty_masks(adapter, volume):
+    adapter.set_volume(volume)
+    out = adapter.segment_volume(start_frame_idx=3, masks=[
+        np.zeros((80, 80), np.float32)])
+    assert out.sum() == 0  # all-zero seed skipped (reference :263-265)
+
+
+def test_sam3_adapter_gated():
+    with pytest.raises(NotImplementedError):
+        get_adapter(SAM3AdapterConfig(text_prompt="mito"))
