@@ -263,6 +263,17 @@ class AutomaticMaskGenerator:
             sx, sy = cw / lowres, ch / lowres
             boxes = buf["boxes"][idx] * np.array([sx, sy, sx, sy], np.float32)
             boxes += np.array([x0, y0, x0, y0], np.float32)
+            # torch AMG is_box_near_crop_edge (atol=20): drop candidates
+            # truncated at an interior crop boundary — they would otherwise
+            # survive NMS with the 1/crop_area score preferring small crops.
+            crop_arr = np.array([x0, y0, x1, y1], np.float32)
+            orig_arr = np.array([0, 0, w, h], np.float32)
+            near_crop = np.abs(boxes - crop_arr) <= 20.0
+            near_img = np.abs(boxes - orig_arr) <= 20.0
+            inner = ~np.any(near_crop & ~near_img, axis=1)
+            if not inner.any():
+                continue
+            idx, boxes = idx[inner], boxes[inner]
             pts = buf["points"][idx] * np.array([cw / model_size, ch / model_size],
                                                 np.float32)
             pts += np.array([x0, y0], np.float32)

@@ -37,7 +37,7 @@ class FilteringConfig:
 def _remove_small(mask: np.ndarray, min_size: int) -> np.ndarray:
     if mask.sum() == 0 or min_size <= 1:
         return mask.astype(bool)
-    lab, n = cc_label(mask > 0)
+    lab, n = cc_label(mask > 0, connectivity=1)  # ref ndimage.label default (6-conn 3D)
     if n == 0:
         return np.zeros_like(mask, bool)
     counts = np.bincount(lab.ravel())
@@ -49,7 +49,7 @@ def _remove_small(mask: np.ndarray, min_size: int) -> np.ndarray:
 def _largest_component(mask: np.ndarray) -> np.ndarray:
     if mask.sum() == 0:
         return mask.astype(bool)
-    lab, n = cc_label(mask > 0)
+    lab, n = cc_label(mask > 0, connectivity=1)  # ref ndimage.label default
     if n <= 1:
         return mask > 0
     counts = np.bincount(lab.ravel())
@@ -116,7 +116,7 @@ class OrganelleMembraneFilter:
         if mem.sum() == 0:
             return mem
         interior = _erode(org > 0, 2)
-        lab, n = cc_label(mem > 0)
+        lab, n = cc_label(mem > 0, connectivity=1)  # ref ndimage.label default
         keep = np.zeros_like(mem, bool)
         for l in range(1, n + 1):
             comp = lab == l

@@ -209,14 +209,19 @@ class SAM2(nn.Module):
         return self.obj_ptr_proj(sam_token)
 
     def obj_ptr_tpos(self, t_diff: jnp.ndarray) -> jnp.ndarray:
-        """Signed temporal distance → (…, mem_dim) encoding (sam2.1)."""
+        """Signed temporal distance → (…, mem_dim) encoding (sam2.1).
+
+        Matches upstream ``get_1d_sine_pe(pos / (max_obj_ptrs - 1), d_model)``
+        followed by ``obj_ptr_tpos_proj``: paired frequency exponents
+        ``10000**(2*(i//2)/pe_dim)`` and no 2*pi factor, so the learned
+        projection sees the encodings it was trained on.
+        """
         cfg = self.config
-        max_t = float(cfg.max_obj_ptrs_in_encoder)
-        t = t_diff.astype(jnp.float32) / max_t
+        t = t_diff.astype(jnp.float32) / float(cfg.max_obj_ptrs_in_encoder - 1)
         half = cfg.d_model // 2
-        freqs = jnp.arange(half, dtype=jnp.float32)
-        freqs = 10000.0 ** (-freqs / half)
-        ang = t[..., None] * freqs * 2 * jnp.pi
+        idx = jnp.arange(half, dtype=jnp.float32)
+        dim_t = 10000.0 ** (2.0 * jnp.floor(idx / 2.0) / half)
+        ang = t[..., None] / dim_t
         enc = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
         return self.obj_ptr_tpos_proj(enc)
 

@@ -134,9 +134,12 @@ class VideoCore:
         feats = [state.cond_feats]
         pos = [jnp.broadcast_to(spatial_pos + tpos[n - 1], (b, t, md))]
         bias = [jnp.zeros((b, 1, 1, t), jnp.float32)]
-        for j in range(r):  # slot j has recency r=j+1
+        for j in range(r):  # slot j has recency j+1 (slot 0 = newest)
             feats.append(state.mem_feats[j])
-            pos.append(jnp.broadcast_to(spatial_pos + tpos[n - 2 - j], (b, t, md)))
+            # upstream indexes maskmem_tpos_enc[num_maskmem - t_pos - 1]:
+            # most-recent frame (t_rel=1) -> index 0, cond frame -> n-1,
+            # so ring slot j (recency j+1) takes tpos[j].
+            pos.append(jnp.broadcast_to(spatial_pos + tpos[j], (b, t, md)))
             invalid = state.mem_frames[j] < 0
             bias.append(jnp.where(invalid, -1e9, 0.0)
                         * jnp.ones((b, 1, 1, t), jnp.float32))

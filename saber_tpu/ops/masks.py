@@ -142,7 +142,8 @@ def _consensus_based_resolution(image_shape, masks, confidences):
     consensus_mask = np.asarray(consensus_mask)
     avg_conf = np.asarray(avg_conf)
 
-    labeled, num = cc_label(consensus_mask, connectivity=2)
+    # reference uses scipy.ndimage.label defaults (4-conn 2D, masks.py:89)
+    labeled, num = cc_label(consensus_mask, connectivity=1)
     out = []
     for lbl in range(1, num + 1):
         comp = labeled == lbl

@@ -74,7 +74,13 @@ class Array:
         self.dtype = np.dtype(_DTYPE_MAP[meta["dtype"]])
         self.fill_value = meta.get("fill_value", 0)
         comp = meta.get("compressor")
-        self._zlib = bool(comp) and comp.get("id") == "zlib"
+        if comp and comp.get("id") != "zlib":
+            # externally written stores usually use blosc; decoding them as
+            # raw bytes would yield garbage — fail loudly instead.
+            raise NotImplementedError(
+                f"zarrlite supports only zlib-compressed or raw chunks, "
+                f"got compressor {comp.get('id')!r} in {path}")
+        self._zlib = bool(comp)
         self._sep = "/" if meta.get("dimension_separator") == "/" else "."
         self.attrs = Attributes(path)
 
