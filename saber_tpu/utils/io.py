@@ -3,9 +3,9 @@
 Readers/writers for the EM formats the reference supports, without its
 optional heavy deps: MRC is parsed directly (the format is a fixed
 1024-byte header + data; mrcfile is not installed), TIFF goes through
-imageio, STEM formats (.dm4/.ser via hyperspy) are gated with a clear
-error. Device selection is a no-op under JAX (placement is mesh-driven),
-kept for API parity.
+imageio, STEM formats (.dm4/.ser) use the pure-numpy parsers in
+stem_io.py. Device selection is a no-op under JAX (placement is
+mesh-driven), kept for API parity.
 """
 
 import glob
@@ -78,10 +78,12 @@ def read_micrograph(path: str) -> Tuple[np.ndarray, Optional[float]]:
         if img.ndim == 3:
             img = img.mean(axis=-1)
         return img.astype(np.float32), None
-    if ext in (".dm4", ".ser", ".emd"):
-        raise ImportError(
-            f"Reading {ext} requires hyperspy, which is not available in "
-            "this environment. Convert to MRC/TIFF first.")
+    if ext == ".dm4":
+        from saber_tpu.utils.stem_io import read_dm4
+        return read_dm4(path)
+    if ext == ".ser":
+        from saber_tpu.utils.stem_io import read_ser
+        return read_ser(path)
     raise ValueError(f"unsupported micrograph format: {ext}")
 
 
