@@ -321,9 +321,11 @@ class SAM2Adapter(BaseAdapter):
                 vol_masks[idxs] = painted
                 frame_scores[idxs] = np.asarray(scores)[:, :, 0]
 
-        # presence-curve gating (reference predictor.py:322-346)
+        # presence gating (reference sam2 predictor.py:322-346; the SAM3
+        # adapter overrides _presence_scores with per-frame sigmoid
+        # semantics, reference sam3 predictor.py:408-438)
         self.frame_metrics = {}
-        boundaries = thickness.fit_organelle_boundaries(frame_scores)
+        boundaries = self._presence_scores(frame_scores)
         for fidx in range(z):
             self.frame_metrics[fidx] = {}
             for k, obj_id in enumerate(obj_ids):
@@ -333,6 +335,13 @@ class SAM2Adapter(BaseAdapter):
                     vol_masks[fidx][vol_masks[fidx] == obj_id] = 0
 
         return vol_masks.astype(np.uint16)
+
+    def _presence_scores(self, frame_scores: np.ndarray) -> np.ndarray:
+        """(Z, n_obj) raw object-score logits → per-frame presence in [0,1].
+
+        SAM2 semantics: fit the smooth Z presence curve over the raw
+        decoder logits (reference sam2 predictor.py:322-346)."""
+        return np.asarray(thickness.fit_organelle_boundaries(frame_scores))
 
     # ------------------------------------------------------------------
     # State management

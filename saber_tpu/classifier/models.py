@@ -79,6 +79,25 @@ class SAM2Classifier(nn.Module):
                               name="roi_head")(embed, mask_small, train=train)
 
 
+class SAM3Classifier(nn.Module):
+    """Frozen-SAM3-VL-backbone classifier (reference
+    classifier/models/SAM3.py:12-225). Identical ROI/RONI head over the
+    backbone's SAM2-compatible ``vision_features`` — [B, 63, 63, 256] at
+    1008 px vs SAM2's [B, 64, 64, 256] (reference SAM3.py:23-26); the head
+    global-pools, so both grids work (the reference uses adaptive pooling
+    for the same reason, SAM3.py:74, 200)."""
+    num_classes: int
+    input_mode: str = "separate"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, embed, mask_small, train: bool = False):
+        """embed: precomputed (B, H, W, 256) SAM3 /16 features (frozen);
+        mask_small: (B, H, W) mask at feature resolution."""
+        return ROIFeatureHead(self.num_classes, dtype=self.dtype,
+                              name="roi_head")(embed, mask_small, train=train)
+
+
 class ConvNeXtClassifier(nn.Module):
     """Compact ConvNeXt over 2-channel ROI/RONI input
     (reference ConvNeXt.py:6-57; input_mode='concatenate')."""
@@ -172,6 +191,7 @@ class SwinClassifier(nn.Module):
 
 MODEL_REGISTRY = {
     "SAM2": SAM2Classifier,
+    "SAM3": SAM3Classifier,
     "ConvNeXt": ConvNeXtClassifier,
     "SwinTransformer": SwinClassifier,
 }

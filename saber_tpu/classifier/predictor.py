@@ -18,7 +18,8 @@ import yaml
 from flax import serialization
 
 from saber_tpu.classifier.crop import crop_and_resize_adaptive
-from saber_tpu.classifier.models import SAM2Classifier, get_classifier_model
+from saber_tpu.classifier.models import (SAM2Classifier, SAM3Classifier,
+                                         get_classifier_model)
 
 MIN_AREA = 250
 
@@ -38,18 +39,24 @@ class Predictor:
         self.model = get_classifier_model(self.config["model_type"],
                                           self.num_classes)
         self.is_sam2 = isinstance(self.model, SAM2Classifier)
+        self.is_sam3 = isinstance(self.model, SAM3Classifier)
+        self.uses_backbone = self.is_sam2 or self.is_sam3
         size = int(self.config.get("backbone_image_size", 320))
         self.crop_size = 320
         if self.is_sam2:
             from saber_tpu.models.sam2 import build_sam2
             self.backbone, self.backbone_params = build_sam2(
                 self.config.get("sam2_cfg", "tiny"), image_size=size)
+        elif self.is_sam3:
+            from saber_tpu.models.sam3 import build_sam3
+            self.backbone, self.backbone_params = build_sam3(
+                self.config.get("sam3_cfg", "base"), image_size=size)
         else:
             self.backbone = self.backbone_params = None
 
         # template init then load bytes
         rng = jax.random.PRNGKey(0)
-        if self.is_sam2:
+        if self.uses_backbone:
             fs = self.backbone.config.feat_size
             template = self.model.init(rng, jnp.zeros((1, fs, fs, 256)),
                                        jnp.zeros((1, fs, fs)))["params"]
@@ -61,15 +68,14 @@ class Predictor:
 
     def _forward_impl(self, params, images, masks):
         """images/masks: (B, 320, 320) → (B, num_classes) probabilities."""
-        if self.is_sam2:
-            from saber_tpu.models.sam2 import SAM2
+        if self.uses_backbone:
             size = self.backbone.config.image_size
             if images.shape[1] != size or images.shape[2] != size:
                 images = jax.image.resize(
                     images, (images.shape[0], size, size), "bilinear")
             rgb = jnp.repeat(images[..., None], 3, axis=-1)
             bb = self.backbone.apply({"params": self.backbone_params}, rgb,
-                                     method=SAM2.encode_image)
+                                     method=type(self.backbone).encode_image)
             embed = bb["vision_features"]
             fs = embed.shape[1]
             ms = jax.image.resize(masks, (masks.shape[0], fs, fs), "nearest")

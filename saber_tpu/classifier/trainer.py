@@ -31,14 +31,16 @@ from saber_tpu.classifier.losses import (
     focal_loss,
     make_optimizer,
 )
-from saber_tpu.classifier.models import SAM2Classifier, get_classifier_model
+from saber_tpu.classifier.models import (SAM2Classifier, SAM3Classifier,
+                                         get_classifier_model)
 
 BACKBONE_IMAGE_SIZE = 320  # crops are 320² (reference RandMaskCrop)
 
 
 class ClassifierTrainer:
     def __init__(self, model_name: str, num_classes: int,
-                 sam2_cfg: str = "tiny", lr: float = 5e-4,
+                 sam2_cfg: str = "tiny", sam3_cfg: str = "base",
+                 lr: float = 5e-4,
                  num_epochs: int = 100, results_dir: str = "results",
                  devices: Optional[List] = None, use_ema: bool = True,
                  ema_decay: float = 0.999, seed: int = 0,
@@ -47,6 +49,7 @@ class ClassifierTrainer:
         self.model_name = model_name
         self.num_classes = num_classes
         self.sam2_cfg = sam2_cfg
+        self.sam3_cfg = sam3_cfg
         self.num_epochs = num_epochs
         self.results_dir = results_dir
         self.use_ema = use_ema
@@ -55,10 +58,17 @@ class ClassifierTrainer:
 
         self.model = get_classifier_model(model_name, num_classes)
         self.is_sam2 = isinstance(self.model, SAM2Classifier)
+        self.is_sam3 = isinstance(self.model, SAM3Classifier)
+        self.uses_backbone = self.is_sam2 or self.is_sam3
         if self.is_sam2:
             from saber_tpu.models.sam2 import build_sam2
             self.backbone, self.backbone_params = build_sam2(
                 sam2_cfg, image_size=backbone_image_size, seed=seed)
+        elif self.is_sam3:
+            # frozen SAM3 VL backbone (reference classifier/models/SAM3.py:47-66)
+            from saber_tpu.models.sam3 import build_sam3
+            self.backbone, self.backbone_params = build_sam3(
+                sam3_cfg, image_size=backbone_image_size, seed=seed)
         else:
             self.backbone = self.backbone_params = None
 
@@ -83,28 +93,27 @@ class ClassifierTrainer:
     # ------------------------------------------------------------------
 
     def _dummy_input(self):
-        if self.is_sam2:
+        if self.uses_backbone:
             fs = self.backbone.config.feat_size
             return (jnp.zeros((1, fs, fs, 256)), jnp.zeros((1, fs, fs)))
         return (jnp.zeros((1, 320, 320, 2)),)
 
     def _embed(self, images: jnp.ndarray) -> jnp.ndarray:
-        """Frozen SAM2 features for (B, S, S) grayscale crops — stays on
+        """Frozen backbone (SAM2/SAM3) features for (B, S, S) grayscale crops — stays on
         device (no numpy detour, unlike reference SAM2.py:130-147). Crops
         resize to the backbone's input size first (the reference's
         set_image_batch resizes to 1024 the same way)."""
-        from saber_tpu.models.sam2 import SAM2
         size = self.backbone.config.image_size
         if images.shape[1] != size or images.shape[2] != size:
             images = jax.image.resize(
                 images, (images.shape[0], size, size), "bilinear")
         rgb = jnp.repeat(images[..., None], 3, axis=-1)
         bb = self.backbone.apply({"params": self.backbone_params}, rgb,
-                                 method=SAM2.encode_image)
+                                 method=type(self.backbone).encode_image)
         return jax.lax.stop_gradient(bb["vision_features"])
 
     def _forward(self, params, batch, train: bool, rng):
-        if self.is_sam2:
+        if self.uses_backbone:
             embed = batch["embed"]
             fs = embed.shape[1]
             mask_small = jax.image.resize(
@@ -157,7 +166,7 @@ class ClassifierTrainer:
     def _prepare_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         out = {"label": jnp.asarray(batch["label"]),
                "mask": jnp.asarray(batch["mask"])}
-        if self.is_sam2:
+        if self.uses_backbone:
             out["embed"] = self._embed(jnp.asarray(batch["image"]))
         else:
             out["image"] = jnp.asarray(batch["image"])
@@ -224,6 +233,7 @@ class ClassifierTrainer:
             "model_type": self.model_name,
             "num_classes": self.num_classes,
             "sam2_cfg": self.sam2_cfg,
+            "sam3_cfg": self.sam3_cfg,
             "backbone_image_size": self.backbone_image_size,
             "labels": labels or {},
             "amg_params": dict(amg_params or {}, sam2_cfg=self.sam2_cfg),

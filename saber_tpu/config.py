@@ -104,7 +104,11 @@ class SAM2AdapterConfig(BaseModel):
 
 
 class SAM3AdapterConfig(BaseModel):
-    """Config for the (text-prompted) SAM3 adapter (reference base.py:36-43)."""
+    """Config for the (text-prompted) SAM3 adapter (reference base.py:36-43).
+
+    Reference fields plus the TPU-build knobs mirroring SAM2AdapterConfig
+    (model preset, image size, compute dtype, tracker memory size).
+    """
 
     model_type: Literal["sam3"] = "sam3"
     checkpoint_path: Optional[str] = None
@@ -112,6 +116,32 @@ class SAM3AdapterConfig(BaseModel):
     light_modality: bool = False
     text_prompt: Optional[str] = None
     min_mask_area: int = 50
+
+    # TPU-specific knobs.
+    cfg: str = Field("large", description="large / base / test preset")
+    image_size: Optional[int] = Field(
+        None, description="None → preset default (1008 full / 64 test)")
+    dtype: str = Field("bfloat16", description="compute dtype")
+    num_maskmem: int = 7
+
+    @field_validator("cfg")
+    @classmethod
+    def _check_cfg(cls, v: str) -> str:
+        if v not in ("large", "base", "test"):
+            raise ValueError(f"cfg must be one of large/base/test, got '{v}'")
+        return v
+
+
+def sam3_adapter_config(text_prompt: Optional[str] = None,
+                        **kwargs: Any) -> SAM3AdapterConfig:
+    """SAM3 config honoring SABER_SAM3_PRESET / SABER_SAM3_IMAGE_SIZE env
+    overrides, so CLI workflows can run the CI-sized preset in tests."""
+    import os
+    kwargs.setdefault("cfg", os.environ.get("SABER_SAM3_PRESET", "large"))
+    size = os.environ.get("SABER_SAM3_IMAGE_SIZE")
+    if size and "image_size" not in kwargs:
+        kwargs["image_size"] = int(size)
+    return SAM3AdapterConfig(text_prompt=text_prompt, **kwargs)
 
 
 AdapterConfig = Union[SAM2AdapterConfig, SAM3AdapterConfig]

@@ -17,7 +17,8 @@ def segment_tomogram_core(run: LocalRun, segmenter, output_writer,
                           delta_z: int = 30, target_class: int = 1,
                           display_segmentation: bool = False,
                           segmentation_session_id: str = "0",
-                          device_id: int = 0) -> Optional[str]:
+                          device_id: int = 0,
+                          text_prompt: Optional[str] = None) -> Optional[str]:
     """Segment one tomogram run and write the result
     (reference inference_core.py:10-97)."""
     vol, voxel_size = run.get_volume()
@@ -31,6 +32,7 @@ def segment_tomogram_core(run: LocalRun, segmenter, output_writer,
                                          display_segmentation)
     else:
         segment_mask = segmenter.segment(vol, slab_thickness,
+                                         text=text_prompt,
                                          target_class=target_class,
                                          save_run=img_name,
                                          display=display_segmentation)
@@ -53,7 +55,8 @@ def segment_micrograph_core(path: str, zwriter, segmenter,
                             scale_factor: float = 1.0,
                             target_class: int = 1,
                             use_sliding_window: bool = False,
-                            device_id: int = 0) -> Optional[str]:
+                            device_id: int = 0,
+                            text_prompt: Optional[str] = None) -> Optional[str]:
     """Segment one micrograph file (reference inference_core.py:99-153)."""
     import os
 
@@ -65,7 +68,7 @@ def segment_micrograph_core(path: str, zwriter, segmenter,
             pixel_size *= scale_factor
 
     masks = segmenter.segment(image, target_class=target_class,
-                              display=False,
+                              text=text_prompt, display=False,
                               use_sliding_window=use_sliding_window)
     arr = mask_filters.masks_to_array(masks)
     name = os.path.splitext(os.path.basename(path))[0]

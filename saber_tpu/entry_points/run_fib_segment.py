@@ -6,7 +6,8 @@ from typing import Optional
 import click
 import numpy as np
 
-from saber_tpu.config import AMGConfig, SAM2AdapterConfig
+from saber_tpu.config import (AMGConfig, SAM2AdapterConfig,
+                              sam3_adapter_config)
 from saber_tpu.segmenters.propagation import propagationSegmenter
 from saber_tpu.utils.io import read_movie
 
@@ -22,11 +23,15 @@ def run_fib_segment(input: str, output: str = "fib_masks.npy",
                     min_mask_area: int = 100, save_movie: bool = True,
                     image_size: int = 1024,
                     amg_cfg=None, parallel_seeds: bool = False,
-                    num_devices=None):
+                    num_devices=None, text_prompt: Optional[str] = None):
     vol = read_movie(input, target_resolution, input_resolution)
 
     classifier = None
-    if model_config is not None:
+    if text_prompt:
+        # SAM3 iff a text prompt is given (reference run_fib_segment.py:78-79)
+        cfg = sam3_adapter_config(text_prompt,
+                                  min_mask_area=min_mask_area)
+    elif model_config is not None:
         from saber_tpu.classifier.predictor import Predictor
         classifier = Predictor(model_config, model_weights)
         cfg = SAM2AdapterConfig(classifier=classifier,
@@ -43,10 +48,12 @@ def run_fib_segment(input: str, output: str = "fib_masks.npy",
         masks = seg.parallel_segment(vol, ini_depth=ini_depth,
                                      nframes=nframes,
                                      target_class=target_class,
+                                     text_prompt=text_prompt,
                                      num_devices=num_devices)
     else:
         masks = seg.segment(vol, ini_depth=ini_depth, nframes=nframes,
-                            target_class=target_class)
+                            target_class=target_class,
+                            text_prompt=text_prompt)
     np.save(output, masks)
     if save_movie:
         from saber_tpu.visualization.results import export_movie
@@ -72,6 +79,8 @@ def run_fib_segment(input: str, output: str = "fib_masks.npy",
 @click.option("--parallel-seeds", is_flag=True,
               help="farm seed propagations over all chips")
 @click.option("--num-devices", type=int, default=None)
+@click.option("--text-prompt", default=None,
+              help="text concept → SAM3 backend")
 def fib(**kwargs):
     """Segment FIB-SEM stacks by seed-and-propagate."""
     run_fib_segment(**kwargs)

@@ -7,7 +7,8 @@ from typing import Optional
 import click
 import numpy as np
 
-from saber_tpu.config import AMGConfig, SAM2AdapterConfig
+from saber_tpu.config import (AMGConfig, SAM2AdapterConfig,
+                              sam3_adapter_config)
 from saber_tpu.segmenters.propagation import propagationSegmenter
 from saber_tpu.utils.io import read_movie
 
@@ -21,10 +22,14 @@ def run_light_segment(input: str, output: str = "light_masks.npy",
                       min_mask_area: int = 100, save_movie: bool = True,
                       image_size: int = 1024,
                       amg_cfg=None, parallel_seeds: bool = False,
-                      num_devices=None):
+                      num_devices=None, text_prompt: Optional[str] = None):
     vol = read_movie(input)
 
-    if model_config is not None:
+    if text_prompt:
+        # SAM3 iff a text prompt is given (reference run_light_segment.py:81-82)
+        cfg = sam3_adapter_config(text_prompt, light_modality=True,
+                                  min_mask_area=min_mask_area)
+    elif model_config is not None:
         from saber_tpu.classifier.predictor import Predictor
         classifier = Predictor(model_config, model_weights)
         cfg = SAM2AdapterConfig(classifier=classifier, light_modality=True,
@@ -41,10 +46,12 @@ def run_light_segment(input: str, output: str = "light_masks.npy",
         masks = seg.parallel_segment(vol, ini_depth=ini_depth,
                                      nframes=nframes,
                                      target_class=target_class,
+                                     text_prompt=text_prompt,
                                      num_devices=num_devices)
     else:
         masks = seg.segment(vol, ini_depth=ini_depth, nframes=nframes,
-                            target_class=target_class)
+                            target_class=target_class,
+                            text_prompt=text_prompt)
     np.save(output, masks)
     if save_movie:
         from saber_tpu.visualization.results import export_movie
@@ -66,6 +73,8 @@ def run_light_segment(input: str, output: str = "light_masks.npy",
 @click.option("--parallel-seeds", is_flag=True,
               help="farm seed propagations over all chips")
 @click.option("--num-devices", type=int, default=None)
+@click.option("--text-prompt", default=None,
+              help="text concept → SAM3 backend")
 def light(**kwargs):
     """Segment light-microscopy movies by seed-and-propagate."""
     run_light_segment(**kwargs)

@@ -24,12 +24,14 @@ def run_micrograph_segment(input: str, output: str = "micrographs.zarr",
                            use_sliding_window: bool = False,
                            display: bool = False,
                            num_devices: Optional[int] = None,
-                           gallery: bool = True):
+                           gallery: bool = True,
+                           text_prompt: Optional[str] = None):
     files = sorted(glob.glob(input)) if any(c in input for c in "*?[") else (
         sorted(glob.glob(os.path.join(input, "*"))) if os.path.isdir(input)
         else [input])
     files = [f for f in files if os.path.splitext(f)[1].lower() in
-             (".mrc", ".mrcs", ".tif", ".tiff", ".png", ".jpg", ".jpeg")]
+             (".mrc", ".mrcs", ".tif", ".tiff", ".png", ".jpg", ".jpeg",
+              ".dm4", ".ser")]
     if not files:
         raise click.ClickException(f"no micrographs match {input}")
 
@@ -37,23 +39,25 @@ def run_micrograph_segment(input: str, output: str = "micrographs.zarr",
 
     if len(files) == 1 and display:
         models = micrograph_workflow(0, sam2_cfg, model_config, model_weights,
-                                     min_mask_area)
+                                     min_mask_area, text_prompt=text_prompt)
         from saber_tpu.utils.io import read_micrograph
         image, _ = read_micrograph(files[0])
         models["segmenter"].segment(np.asarray(image, np.float32),
                                     target_class=target_class, display=True,
+                                    text=text_prompt,
                                     use_sliding_window=use_sliding_window)
         return None
 
     pool = DevicePool(
         init_fn=lambda i: micrograph_workflow(
-            i, sam2_cfg, model_config, model_weights, min_mask_area),
+            i, sam2_cfg, model_config, model_weights, min_mask_area,
+            text_prompt=text_prompt),
         num_devices=num_devices, verbose=True)
 
     def work(path, device_id, models):
         return segment_micrograph_core(
             path, writer, models["segmenter"], scale_factor, target_class,
-            use_sliding_window, device_id)
+            use_sliding_window, device_id, text_prompt=text_prompt)
 
     results = pool.execute(work, files)
     if gallery:
@@ -75,6 +79,8 @@ def run_micrograph_segment(input: str, output: str = "micrographs.zarr",
 @click.option("--sliding-window", "use_sliding_window", is_flag=True)
 @click.option("--display", is_flag=True)
 @click.option("--num-devices", type=int, default=None)
+@click.option("--text-prompt", default=None,
+              help="text concept → SAM3 backend")
 def micrographs(**kwargs):
     """Zero-shot / classifier-filtered 2D segmentation of micrographs."""
     run_micrograph_segment(**kwargs)

@@ -28,7 +28,8 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
                  min_mask_area: int = 50, session_id: str = "0",
                  display: bool = False, num_devices: Optional[int] = None,
                  gallery: bool = True, resume: bool = False,
-                 max_retries: int = 0, filter_threshold: float = 0.5):
+                 max_retries: int = 0, filter_threshold: float = 0.5,
+                 text_prompt: Optional[str] = None):
     """Batch 3D segmentation over all runs in `input`.
 
     ``resume`` skips runs already present in the output zarr (batch
@@ -50,24 +51,27 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
     save_copick_metadata(os.path.splitext(output)[0] + "_metadata.yaml", {
         "input": input, "voxel_size": voxel_size, "sam2_cfg": sam2_cfg,
         "model_config": model_config, "target_class": target_class,
+        "text_prompt": text_prompt,
         "slab_thickness": slab_thickness, "num_slabs": num_slabs,
         "delta_z": delta_z, "session_id": session_id,
     })
 
     if len(runs) == 1 and display:
         models = tomogram_workflow(0, sam2_cfg, model_config, model_weights,
-                                   min_mask_area, num_slabs, target_class)
+                                   min_mask_area, num_slabs, target_class,
+                                   text_prompt=text_prompt)
         models["segmenter"].filter_threshold = filter_threshold
         segment_tomogram_core(runs[0], models["segmenter"], writer,
                               slab_thickness, num_slabs, delta_z,
                               target_class, display_segmentation=True,
-                              segmentation_session_id=session_id)
+                              segmentation_session_id=session_id,
+                              text_prompt=text_prompt)
         return None
 
     pool = DevicePool(
         init_fn=lambda i: tomogram_workflow(
             i, sam2_cfg, model_config, model_weights, min_mask_area,
-            num_slabs, target_class),
+            num_slabs, target_class, text_prompt=text_prompt),
         num_devices=num_devices, verbose=True, max_retries=max_retries)
 
     def work(run, device_id, models):
@@ -75,7 +79,8 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
         return segment_tomogram_core(
             run, models["segmenter"], writer, slab_thickness, num_slabs,
             delta_z, target_class, display_segmentation=False,
-            segmentation_session_id=session_id, device_id=device_id)
+            segmentation_session_id=session_id, device_id=device_id,
+            text_prompt=text_prompt)
 
     results = pool.execute(work, runs)
     if gallery:
@@ -108,6 +113,9 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
 @click.option("--max-retries", default=0, show_default=True)
 @click.option("--filter-threshold", default=0.5, show_default=True,
               help="min z-presence score to keep a mask on a slice")
+@click.option("--text-prompt", default=None,
+              help="text concept → SAM3 backend (reference "
+                   "run_tomogram_segment.py:36-41)")
 def tomograms(**kwargs):
     """Zero-shot / classifier-filtered 3D segmentation of tomograms."""
     run_tomo_seg(**kwargs)

@@ -104,6 +104,17 @@ class SAM2(nn.Module):
                          backbone_channel_list=cfg.backbone_channel_list,
                          name="neck"),
             scalp=1)
+        self._setup_sam_heads()
+
+    def _setup_sam_heads(self):
+        """Prompt/mask/memory heads + video-mode params.
+
+        Shared with SAM3 (models/sam3.py), whose tracker is SAM2's heads
+        grafted onto the SAM3 VL backbone — mirroring the reference's
+        ``predictor.backbone = sam3_model.detector.backbone``
+        (saber/adapters/sam3/predictor.py:162-164).
+        """
+        cfg = self.config
         self.sam_prompt_encoder = PromptEncoder(
             embed_dim=cfg.d_model,
             image_embedding_size=(cfg.feat_size, cfg.feat_size),

@@ -30,6 +30,18 @@ from flax import struct
 from saber_tpu.models.sam2 import SAM2
 
 
+def _M(model):
+    """The model's class, used to select unbound methods for nn.apply.
+
+    VideoCore drives any module exposing the SAM2 tracker surface
+    (encode_image / decode / encode_memory / memory_pos_enc /
+    condition_features / project_obj_ptr / obj_ptr_tpos) — SAM2 itself or
+    SAM3, whose tracker is the same heads on the VL backbone (the
+    reference grafts them the same way, adapters/sam3/predictor.py:162-164).
+    """
+    return type(model)
+
+
 @struct.dataclass
 class PropagationState:
     """Fixed-capacity memory bank carried through the propagation scan."""
@@ -73,7 +85,7 @@ class VideoCore:
     def encode_batch(self, params, images: jnp.ndarray):
         """images: (F, S, S, 3) → backbone pytree (batched over frames)."""
         return self.model.apply({"params": params}, images,
-                                method=SAM2.encode_image)
+                                method=_M(self.model).encode_image)
 
     # -- seeding ---------------------------------------------------------
 
@@ -103,13 +115,13 @@ class VideoCore:
         lbl = -jnp.ones((b, 1), jnp.int32)
         _, _, sam_tokens, obj_logits = self.model.apply(
             {"params": params}, backbone_b, pts, lbl, low_logits[..., None],
-            multimask_output=False, dynamic_multimask=False, method=SAM2.decode)
+            multimask_output=False, dynamic_multimask=False, method=_M(self.model).decode)
         obj_ptr = self.model.apply({"params": params}, sam_tokens[:, 0],
-                                   method=SAM2.project_obj_ptr)
+                                   method=_M(self.model).project_obj_ptr)
 
         vision = backbone_b["vision_features"]
         mem = self.model.apply({"params": params}, vision, high_logits,
-                               jnp.full((b, 1), 10.0), method=SAM2.encode_memory)
+                               jnp.full((b, 1), 10.0), method=_M(self.model).encode_memory)
         state = state.replace(
             cond_feats=mem.astype(jnp.float32),
             cond_frame=frame_idx.astype(jnp.int32),
@@ -128,7 +140,7 @@ class VideoCore:
         b, t, md = state.cond_feats.shape
 
         tpos = params["maskmem_tpos_enc"].reshape(n, 1, 1, md)
-        spatial_pos = model.apply({"params": params}, method=SAM2.memory_pos_enc)
+        spatial_pos = model.apply({"params": params}, method=_M(self.model).memory_pos_enc)
         spatial_pos = spatial_pos[None]                     # (1, T, md)
 
         feats = [state.cond_feats]
@@ -152,7 +164,7 @@ class VideoCore:
         p1 = ptr_all.shape[0]
         tdiff = (frame_idx - ptr_frames).astype(jnp.float32) * tpos_sign
         ptr_pos = model.apply({"params": params}, tdiff,
-                              method=SAM2.obj_ptr_tpos)        # (P+1, md)
+                              method=_M(self.model).obj_ptr_tpos)        # (P+1, md)
         ptr_tokens = ptr_all.transpose(1, 0, 2).reshape(b, p1 * split, md)
         ptr_pos_tokens = jnp.repeat(ptr_pos, split, axis=0)[None]  # (1, P1*split, md)
         ptr_pos_tokens = jnp.broadcast_to(ptr_pos_tokens, (b, p1 * split, md))
@@ -207,7 +219,7 @@ class VideoCore:
             params, state, frame_idx, tpos_sign)
         conditioned = self.model.apply(
             {"params": params}, vis_tokens, vis_pos, memory, memory_pos,
-            n_ptr_tokens, attn_bias, method=SAM2.condition_features)
+            n_ptr_tokens, attn_bias, method=_M(self.model).condition_features)
         conditioned = conditioned.reshape(b, fs, fs, cfg.d_model)
 
         # track with an empty prompt (single padding point, torch convention)
@@ -216,18 +228,18 @@ class VideoCore:
         masks, iou, sam_tokens, obj_logits = self.model.apply(
             {"params": params}, backbone_b, pts, lbl,
             multimask_output=False, conditioned_embed=conditioned,
-            method=SAM2.decode)
+            method=_M(self.model).decode)
         low_logits = masks[:, 0]                             # (B, low, low)
 
         obj_ptr = self.model.apply({"params": params}, sam_tokens[:, 0],
-                                   method=SAM2.project_obj_ptr)
+                                   method=_M(self.model).project_obj_ptr)
 
         # encode new memory from the predicted mask at full resolution
         size = cfg.image_size
         high = jax.image.resize(low_logits[..., None],
                                 (b, size, size, 1), method="bilinear")
         mem = self.model.apply({"params": params}, vision, high, obj_logits,
-                               method=SAM2.encode_memory)
+                               method=_M(self.model).encode_memory)
 
         # ring updates (newest first)
         new_mem = jnp.concatenate([mem[None].astype(jnp.float32),

@@ -1,5 +1,8 @@
-"""BaseAdapter contract tests over the SAM2 adapter (SURVEY.md §4 test
-strategy item 2): every ABC method, with the reference's shapes/semantics."""
+"""BaseAdapter contract tests over BOTH adapters (SURVEY.md §4 test
+strategy item 2): every ABC method, with the reference's shapes/semantics.
+The same suite runs against SAM2Adapter and SAM3Adapter — the reference's
+stated design goal ("Mirrors the SAM2Adapter interface so the two can be
+swapped", adapters/sam3/predictor.py:44-47)."""
 
 import numpy as np
 import pytest
@@ -8,15 +11,25 @@ from saber_tpu.adapters.base import BaseAdapter, get_adapter
 from saber_tpu.config import AMGConfig, SAM2AdapterConfig, SAM3AdapterConfig
 
 
-@pytest.fixture(scope="module")
-def adapter():
-    cfg = SAM2AdapterConfig(
-        cfg="tiny", image_size=128, dtype="float32", num_maskmem=2,
-        amg_cfg=AMGConfig(npoints=4, points_per_batch=8, pred_iou_thresh=0.05,
-                          stability_score_thresh=0.0, crop_n_layers=0,
-                          use_m2m=False, max_masks=8),
-        min_mask_area=10)
+def _make_adapter(kind: str) -> BaseAdapter:
+    if kind == "sam2":
+        cfg = SAM2AdapterConfig(
+            cfg="tiny", image_size=128, dtype="float32", num_maskmem=2,
+            amg_cfg=AMGConfig(npoints=4, points_per_batch=8,
+                              pred_iou_thresh=0.05,
+                              stability_score_thresh=0.0, crop_n_layers=0,
+                              use_m2m=False, max_masks=8),
+            min_mask_area=10)
+    else:
+        cfg = SAM3AdapterConfig(cfg="test", image_size=64, dtype="float32",
+                                num_maskmem=2, text_prompt="mitochondria",
+                                min_mask_area=10)
     return get_adapter(cfg)
+
+
+@pytest.fixture(scope="module", params=["sam2", "sam3"])
+def adapter(request):
+    return _make_adapter(request.param)
 
 
 @pytest.fixture()
@@ -103,6 +116,47 @@ def test_segment_volume_empty_masks(adapter, volume):
     assert out.sum() == 0  # all-zero seed skipped (reference :263-265)
 
 
-def test_sam3_adapter_gated():
-    with pytest.raises(NotImplementedError):
-        get_adapter(SAM3AdapterConfig(text_prompt="mito"))
+# ---------------------------------------------------------------------------
+# SAM3-specific surface (reference adapters/sam3/predictor.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sam3_adapter():
+    return _make_adapter("sam3")
+
+
+def test_sam3_requires_text_prompt(rng):
+    adapter = get_adapter(SAM3AdapterConfig(cfg="test", image_size=64,
+                                            dtype="float32"))
+    with pytest.raises(ValueError, match="text_prompt"):
+        adapter.segment_image_2d(rng.standard_normal((32, 32)).astype(np.float32))
+
+
+def test_sam3_threshold_filters(sam3_adapter, rng):
+    img = rng.standard_normal((48, 48)).astype(np.float32)
+    none_kept = sam3_adapter.segment_image_2d(img, threshold=1.1)
+    assert none_kept == []  # scores are sigmoid-products < 1
+    all_kept = sam3_adapter.segment_image_2d(img, threshold=-0.1)
+    # fixed candidate capacity: at most num_queries survive min-area
+    assert len(all_kept) <= 8
+    for m in all_kept:
+        assert m["segmentation"].shape == (48, 48)
+        assert 0.0 <= m["predicted_iou"] <= 1.0
+
+
+def test_sam3_normalized_prompts(sam3_adapter, volume):
+    sam3_adapter.set_volume(volume)
+    fidx, obj_ids, _ = sam3_adapter.add_box_prompt(
+        2, 1, [0.25, 0.25, 0.75, 0.75])
+    assert fidx == 2 and 1 in obj_ids
+    fidx, obj_ids, video_mask = sam3_adapter.add_point_prompt(
+        2, 2, np.asarray([[0.5, 0.5]]), np.asarray([1]))
+    assert 2 in obj_ids and video_mask.shape == (1, 80, 80)
+    sam3_adapter.reset_state()
+
+
+def test_sam3_presence_is_sigmoid(sam3_adapter):
+    scores = np.asarray([[0.0], [10.0], [-10.0]], np.float32)
+    p = sam3_adapter._presence_scores(scores)
+    np.testing.assert_allclose(p[:, 0], [0.5, 1.0, 0.0], atol=1e-4)
