@@ -147,14 +147,27 @@ class AutomaticMaskGenerator:
             "points": flat_points, "valid": valid,
         }
 
-    def _build_crop_fn(self, n_points_side: int, chunk: int):
-        """jit-compiled grid sweep for one (grid size, chunk) combination."""
+    # Per-scan-step prompt budget when a layer's crops are batched: crops
+    # fold into the prompt batch, so each crop's chunk shrinks to keep the
+    # live decode tensors bounded while the MXU still sees a full batch.
+    STEP_PROMPT_BUDGET = 256
+
+    def _build_layer_fn(self, n_points_side: int, chunk: int, n_crops: int):
+        """jit-compiled grid sweep for every crop of one layer at once.
+
+        The torch AMG loops crops in Python (one generate() per crop,
+        reference automask.py wraps SAM2AutomaticMaskGenerator); here the
+        crop axis is vmapped so all 4/16 same-size crops of a layer sweep
+        their grids in a single device program.
+        """
         cfg = self.cfg
         model_size = self.model.config.image_size
-        cap = cfg.max_masks
+        k_mult = 3 if cfg.multimask_output else 1
+        cap = min(cfg.max_masks, n_points_side**2 * k_mult)
         lowres = model_size // 4
 
-        def run(params, backbone):
+        def run_one(params, backbone):
+            # backbone leaves arrive WITHOUT a batch axis (vmapped out)
             grid = build_point_grid(n_points_side) * model_size  # (G²,2) xy px
             g2 = grid.shape[0]
             pad = (-g2) % chunk
@@ -166,10 +179,9 @@ class AutomaticMaskGenerator:
             chunks = grid_p.reshape(-1, chunk, 2)
             chunk_valid = pad_mask.reshape(-1, chunk)
 
-            k_mult = 3 if cfg.multimask_output else 1
             backbone_b = jax.tree.map(
-                lambda x: jnp.broadcast_to(x, (chunk, *x.shape[1:]))
-                if x.ndim == 4 else x, backbone)
+                lambda x: jnp.broadcast_to(x[None], (chunk, *x.shape))
+                if x.ndim == 3 else x, backbone)
 
             init = {
                 "masks": jnp.full((cap, lowres, lowres), -1e4, jnp.float32),
@@ -195,14 +207,24 @@ class AutomaticMaskGenerator:
             buf["boxes"] = boxes
             return buf
 
-        return jax.jit(run)
+        return jax.jit(jax.vmap(run_one, in_axes=(None, 0)))
 
-    def _run_crop(self, backbone, n_points_side: int):
-        chunk = min(self.cfg.points_per_batch, n_points_side**2)
-        key = (n_points_side, chunk)
+    def _run_layer(self, backbone, n_points_side: int, n_crops: int):
+        """backbone: pytree with leading crop axis n_crops. Returns a
+        candidate buffer pytree with leading axis n_crops."""
+        per_crop = min(self.cfg.points_per_batch, n_points_side**2)
+        if n_crops > 1:
+            per_crop = max(1, min(per_crop,
+                                  -(-self.STEP_PROMPT_BUDGET // n_crops)))
+        key = (n_points_side, per_crop, n_crops)
         if key not in self._crop_fn_cache:
-            self._crop_fn_cache[key] = self._build_crop_fn(n_points_side, chunk)
-        return self._crop_fn_cache[key](self.params, backbone)
+            self._crop_fn_cache[key] = self._build_layer_fn(
+                n_points_side, per_crop, n_crops)
+        # only the decode inputs carry the crop batch axis; pos encodings
+        # are unbatched and unused by the decoder
+        decode_bb = {"vision_features": backbone["vision_features"],
+                     "backbone_fpn": list(backbone["backbone_fpn"])}
+        return self._crop_fn_cache[key](self.params, decode_bb)
 
     # ------------------------------------------------------------------
     # Host orchestration
@@ -228,13 +250,15 @@ class AutomaticMaskGenerator:
         crop_boxes, layer_idxs = generate_crop_boxes(
             (h, w), cfg.crop_n_layers, cfg.crop_overlap_ratio)
 
-        # encode all crops of a layer in ONE encoder batch (the torch AMG
-        # re-runs set_image per crop, 21 encoder calls at crop_n_layers=2)
+        # one encoder batch AND one grid-sweep program per layer (the torch
+        # AMG re-runs set_image + a Python point loop per crop — 21 encoder
+        # calls and 21 decode sweeps at crop_n_layers=2)
         by_layer: Dict[int, List[int]] = {}
         for ci, layer in enumerate(layer_idxs):
             by_layer.setdefault(layer, []).append(ci)
-        backbones: Dict[int, Any] = {}
-        for layer, cids in by_layer.items():
+
+        all_data: List[Dict[str, np.ndarray]] = []
+        for layer, cids in sorted(by_layer.items()):
             resized = np.stack([
                 np.asarray(jax.image.resize(
                     jnp.asarray(image[c[1]:c[3], c[0]:c[2]], jnp.float32),
@@ -242,50 +266,49 @@ class AutomaticMaskGenerator:
                 for c in (crop_boxes[i] for i in cids)])
             resized = (resized - _IMAGENET_MEAN) / _IMAGENET_STD
             bb = self._encode(resized)
+            n_side = max(1, cfg.npoints
+                         // (cfg.crop_n_points_downscale_factor ** layer))
+            layer_buf = jax.tree.map(
+                np.asarray, self._run_layer(bb, n_side, len(cids)))
+
             for k, ci in enumerate(cids):
-                backbones[ci] = jax.tree.map(
-                    lambda x, k=k: x[k:k + 1] if getattr(x, "ndim", 0) == 4
-                    else x, bb)
+                buf = jax.tree.map(lambda a, k=k: a[k], layer_buf)
+                crop_box = crop_boxes[ci]
+                x0, y0, x1, y1 = crop_box
+                ch, cw = y1 - y0, x1 - x0
 
-        all_data: List[Dict[str, np.ndarray]] = []
-        for ci, (crop_box, layer) in enumerate(zip(crop_boxes, layer_idxs)):
-            x0, y0, x1, y1 = crop_box
-            ch, cw = y1 - y0, x1 - x0
-            backbone = backbones[ci]
-            n_side = max(1, cfg.npoints // (cfg.crop_n_points_downscale_factor ** layer))
-            buf = jax.tree.map(np.asarray, self._run_crop(backbone, n_side))
-
-            keep = buf["valid"]
-            if not keep.any():
-                continue
-            idx = np.nonzero(keep)[0]
-            # scale low-res boxes/points back to image frame
-            sx, sy = cw / lowres, ch / lowres
-            boxes = buf["boxes"][idx] * np.array([sx, sy, sx, sy], np.float32)
-            boxes += np.array([x0, y0, x0, y0], np.float32)
-            # torch AMG is_box_near_crop_edge (atol=20): drop candidates
-            # truncated at an interior crop boundary — they would otherwise
-            # survive NMS with the 1/crop_area score preferring small crops.
-            crop_arr = np.array([x0, y0, x1, y1], np.float32)
-            orig_arr = np.array([0, 0, w, h], np.float32)
-            near_crop = np.abs(boxes - crop_arr) <= 20.0
-            near_img = np.abs(boxes - orig_arr) <= 20.0
-            inner = ~np.any(near_crop & ~near_img, axis=1)
-            if not inner.any():
-                continue
-            idx, boxes = idx[inner], boxes[inner]
-            pts = buf["points"][idx] * np.array([cw / model_size, ch / model_size],
-                                                np.float32)
-            pts += np.array([x0, y0], np.float32)
-            all_data.append({
-                "masks_lowres": buf["masks"][idx],
-                "iou": buf["iou"][idx],
-                "stability": buf["stability"][idx],
-                "boxes": boxes,
-                "points": pts,
-                "crop_box": np.array(crop_box, np.float32),
-                "crop_hw": (ch, cw),
-            })
+                keep = buf["valid"]
+                if not keep.any():
+                    continue
+                idx = np.nonzero(keep)[0]
+                # scale low-res boxes/points back to image frame
+                sx, sy = cw / lowres, ch / lowres
+                boxes = buf["boxes"][idx] * np.array([sx, sy, sx, sy], np.float32)
+                boxes += np.array([x0, y0, x0, y0], np.float32)
+                # torch AMG is_box_near_crop_edge (atol=20): drop candidates
+                # truncated at an interior crop boundary — they would
+                # otherwise survive NMS with the 1/crop_area score
+                # preferring small crops.
+                crop_arr = np.array([x0, y0, x1, y1], np.float32)
+                orig_arr = np.array([0, 0, w, h], np.float32)
+                near_crop = np.abs(boxes - crop_arr) <= 20.0
+                near_img = np.abs(boxes - orig_arr) <= 20.0
+                inner = ~np.any(near_crop & ~near_img, axis=1)
+                if not inner.any():
+                    continue
+                idx, boxes = idx[inner], boxes[inner]
+                pts = buf["points"][idx] * np.array(
+                    [cw / model_size, ch / model_size], np.float32)
+                pts += np.array([x0, y0], np.float32)
+                all_data.append({
+                    "masks_lowres": buf["masks"][idx],
+                    "iou": buf["iou"][idx],
+                    "stability": buf["stability"][idx],
+                    "boxes": boxes,
+                    "points": pts,
+                    "crop_box": np.array(crop_box, np.float32),
+                    "crop_hw": (ch, cw),
+                })
 
         if not all_data:
             return []
@@ -319,16 +342,18 @@ class AutomaticMaskGenerator:
             up = np.asarray(jax.image.resize(
                 jnp.asarray(d["masks_lowres"][kept]),
                 (kept.size, ch, cw), method="bilinear"))
+            # one batched paste for all kept masks of the crop (was a
+            # per-mask Python loop with a fresh full canvas each)
+            segs = np.zeros((kept.size, h, w), bool)
+            segs[:, y0:y0 + ch, x0:x0 + cw] = up > MASK_THRESHOLD
+            areas = segs.sum(axis=(1, 2))
             for j, i in enumerate(kept):
-                seg = np.zeros((h, w), bool)
-                seg[y0:y0 + ch, x0:x0 + cw] = up[j] > MASK_THRESHOLD
-                area = int(seg.sum())
-                if area == 0:
+                if areas[j] == 0:
                     continue
                 bx = d["boxes"][i]
                 out.append({
-                    "segmentation": seg,
-                    "area": area,
+                    "segmentation": segs[j],
+                    "area": int(areas[j]),
                     "bbox": [float(bx[0]), float(bx[1]),
                              float(bx[2] - bx[0]), float(bx[3] - bx[1])],
                     "predicted_iou": float(d["iou"][i]),
