@@ -6,7 +6,10 @@ surface, serving a single-page annotation UI:
 
 - GET  /                     the annotation app (embedded HTML/JS)
 - GET  /api/runs             run names + annotation progress
-- GET  /api/run/<name>       image (PNG base64) + per-mask outlines
+- GET  /api/run/<name>       image (PNG base64) + mask overlay + metadata
+- GET  /api/run/<name>/slice/<z>  z-slice review for 3D stacks (the
+                             reference's annotation_viewer_3d z-slider,
+                             gui/base/annotation_viewer_3d.py)
 - POST /api/annotate         {run, accepted: {class: [idx]}, rejected: [idx]}
 - GET  /api/annotations      current annotation JSON
 - GET  /api/classes          class-name map from zarr attrs
@@ -37,52 +40,135 @@ button{margin:2px;padding:4px 10px}
 canvas{border:1px solid #444;image-rendering:pixelated}
 .mask{cursor:pointer;padding:2px 6px;display:inline-block;margin:2px;
       border:1px solid #555;border-radius:4px}
-.accepted{background:#2d6} .rejected{background:#d44}
+.clsbtn{cursor:pointer;padding:2px 8px;display:inline-block;margin:2px;
+        border:2px solid #555;border-radius:4px}
+.clssel{border-color:#fff}
+.rejected{background:#d44}
+#zrow{margin:6px 0}
 </style></head><body>
 <div id="runs"><h3>Runs</h3><ul id="runlist"></ul></div>
 <div id="main"><h3 id="title">select a run</h3>
 <canvas id="cv" width="512" height="512"></canvas>
-<div>class: <input id="cls" value="1" size="3">
-<button onclick="save()">save annotations</button></div>
+<div id="zrow" style="display:none">z:
+  <input id="zslider" type="range" min="0" max="0" value="0"
+         oninput="setZ(this.value)">
+  <span id="zlabel"></span></div>
+<div>classes: <span id="classes"></span>
+  <label><input id="ovl" type="checkbox" checked onchange="draw()">
+  overlay</label>
+  <button onclick="undo()">undo</button>
+  <button onclick="save()">save annotations</button></div>
 <div id="masks"></div></div>
 <script>
-let cur=null, data=null, state={};
+// TAB10-style palette, one color per class (the reference pickers color
+// accepted masks per class the same way, multi_class_segmentation_picker)
+const PAL=['#1f77b4','#ff7f0e','#2ca02c','#d62728','#9467bd','#8c564b',
+           '#e377c2','#7f7f7f','#bcbd22','#17becf'];
+let cur=null, data=null, state={}, curCls='1', z=0, history=[];
 async function loadRuns(){
   const rs = await (await fetch('/api/runs')).json();
   const ul = document.getElementById('runlist'); ul.innerHTML='';
   rs.runs.forEach(r=>{const li=document.createElement('li');
-    li.textContent=r; li.style.cursor='pointer';
+    li.textContent=r+(rs.annotated.includes(r)?' ✓':'');
+    li.style.cursor='pointer';
     li.onclick=()=>loadRun(r); ul.appendChild(li);});
+  const cls = await (await fetch('/api/classes')).json();
+  const names = Object.keys(cls).length?cls:{1:'class 1',2:'class 2'};
+  const cd=document.getElementById('classes'); cd.innerHTML='';
+  Object.entries(names).forEach(([id,name])=>{
+    const b=document.createElement('span'); b.className='clsbtn';
+    b.style.background=PAL[(id-1)%10]; b.textContent=id+': '+name;
+    b.id='cls'+id;
+    b.onclick=()=>{curCls=String(id);
+      document.querySelectorAll('.clsbtn').forEach(e=>
+        e.classList.remove('clssel'));
+      b.classList.add('clssel');};
+    cd.appendChild(b);});
+  const first=document.querySelector('.clsbtn');
+  if(first) first.click();
 }
 async function loadRun(name){
-  cur=name; data = await (await fetch('/api/run/'+name)).json();
+  cur=name; z=0; history=[];
+  data = await (await fetch('/api/run/'+name)).json();
   document.getElementById('title').textContent=name;
-  const img=new Image();
-  img.onload=()=>{const cv=document.getElementById('cv');
-    cv.getContext('2d').drawImage(img,0,0,cv.width,cv.height);};
-  img.src='data:image/png;base64,'+data.image;
-  const md=document.getElementById('masks'); md.innerHTML='';
+  const zrow=document.getElementById('zrow');
+  if(data.nz>1){zrow.style.display='';
+    const s=document.getElementById('zslider');
+    s.max=data.nz-1; s.value=data.z;
+    z=data.z;
+    document.getElementById('zlabel').textContent=z+'/'+(data.nz-1);}
+  else zrow.style.display='none';
   state[name]=state[name]||{accepted:{},rejected:[]};
-  data.masks.forEach((m,i)=>{const b=document.createElement('span');
-    b.className='mask'; b.textContent='mask '+i+' ('+m.area+'px)';
-    b.onclick=()=>toggle(i,b); md.appendChild(b);});
+  draw(); chips();
 }
-function toggle(i,el){
-  const s=state[cur]; const cls=document.getElementById('cls').value;
-  const acc=s.accepted[cls]=s.accepted[cls]||[];
-  const ai=acc.indexOf(i), ri=s.rejected.indexOf(i);
-  if(ai<0&&ri<0){acc.push(i);el.className='mask accepted';}
-  else if(ai>=0){acc.splice(ai,1);s.rejected.push(i);el.className='mask rejected';}
-  else{s.rejected.splice(ri,1);el.className='mask';}
+async function setZ(v){
+  z=+v; document.getElementById('zlabel').textContent=z+'/'+(data.nz-1);
+  data = await (await fetch('/api/run/'+cur+'/slice/'+z)).json();
+  draw();
+}
+function draw(){
+  const cv=document.getElementById('cv'), ctx=cv.getContext('2d');
+  const img=new Image();
+  img.onload=()=>{ctx.drawImage(img,0,0,cv.width,cv.height);
+    if(document.getElementById('ovl').checked && data.overlay){
+      const ov=new Image();
+      ov.onload=()=>{ctx.globalAlpha=0.45;
+        ctx.drawImage(ov,0,0,cv.width,cv.height); ctx.globalAlpha=1;};
+      ov.src='data:image/png;base64,'+data.overlay;}};
+  img.src='data:image/png;base64,'+data.image;
+}
+function stateOf(i){
+  const s=state[cur];
+  if(s.rejected.includes(i)) return 'rejected';
+  for(const c in s.accepted) if(s.accepted[c].includes(i)) return c;
+  return null;
+}
+function chips(){
+  const md=document.getElementById('masks'); md.innerHTML='';
+  data.masks.forEach((m)=>{const b=document.createElement('span');
+    b.className='mask'; b.id='m'+m.index;
+    b.textContent='mask '+m.index+' ('+m.area+'px)';
+    paint(b,stateOf(m.index));
+    b.onclick=()=>toggle(m.index,b); md.appendChild(b);});
+}
+function paint(el,st){
+  el.className='mask'+(st==='rejected'?' rejected':'');
+  el.style.background = (st&&st!=='rejected')?PAL[(st-1)%10]:'';
+}
+function apply(i,st){
+  const s=state[cur];
+  s.rejected=s.rejected.filter(x=>x!==i);
+  for(const c in s.accepted) s.accepted[c]=s.accepted[c].filter(x=>x!==i);
+  if(st==='rejected') s.rejected.push(i);
+  else if(st){(s.accepted[st]=s.accepted[st]||[]).push(i);}
+  const el=document.getElementById('m'+i); if(el) paint(el,st);
+}
+function toggle(i){
+  const prev=stateOf(i);
+  // cycle: none -> current class -> rejected -> none (reference
+  // segmentation_picker accept/reject flow with per-class colors)
+  const next = prev===null?curCls:(prev==='rejected'?null:'rejected');
+  history.push([i,prev]);
+  apply(i,next);
+}
+function undo(){
+  const h=history.pop(); if(!h) return;
+  apply(h[0],h[1]);
 }
 async function save(){
   await fetch('/api/annotate',{method:'POST',
     headers:{'Content-Type':'application/json'},
     body:JSON.stringify({run:cur,...state[cur]})});
-  alert('saved');
+  loadRuns();
 }
 loadRuns();
 </script></body></html>"""
+
+# TAB10 colors for the server-side overlay PNG (RGB)
+_TAB10 = np.array([
+    [31, 119, 180], [255, 127, 14], [44, 160, 44], [214, 39, 40],
+    [148, 103, 189], [140, 86, 75], [227, 119, 194], [127, 127, 127],
+    [188, 189, 34], [23, 190, 207]], np.uint8)
 
 
 def _png_b64(image: np.ndarray) -> str:
@@ -92,6 +178,19 @@ def _png_b64(image: np.ndarray) -> str:
     img = np.clip((img - lo) / (hi - lo + 1e-8), 0, 1)
     buf = io.BytesIO()
     imageio.imwrite(buf, (img * 255).astype(np.uint8), format="png")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _overlay_b64(label_map: np.ndarray) -> str:
+    """Label map → RGBA PNG, TAB10 color per label, transparent background."""
+    import imageio.v2 as imageio
+    lab = np.asarray(label_map).astype(np.int64)
+    rgba = np.zeros((*lab.shape, 4), np.uint8)
+    fg = lab > 0
+    rgba[fg, :3] = _TAB10[(lab[fg] - 1) % len(_TAB10)]
+    rgba[fg, 3] = 255
+    buf = io.BytesIO()
+    imageio.imwrite(buf, rgba, format="png")
     return base64.b64encode(buf.getvalue()).decode()
 
 
@@ -112,24 +211,65 @@ class AnnotationApp:
         return {"runs": list(self.root.keys()),
                 "annotated": sorted(self.annotations.keys())}
 
-    def run_payload(self, name: str):
+    def _load(self, name: str):
         grp = self.root[name]
         image = np.asarray(grp["0"])
-        if image.ndim == 3:
-            image = image[image.shape[0] // 2]
-        masks = []
+        stack = None
         if "labels" in grp and "0" in grp["labels"]:
             stack = np.asarray(grp["labels"]["0"])
-            if stack.ndim == 2:
-                stack = stack[None]
+        return image, stack
+
+    @staticmethod
+    def _mask_entries(label_map: Optional[np.ndarray], by_value: bool):
+        """Mask metadata: ``by_value`` treats the array as a label map
+        (3D volumes — index = label id); else a per-mask (N, H, W) stack."""
+        masks = []
+        if label_map is None:
+            return masks
+        if by_value:
+            ids = np.unique(label_map)
+            for i in ids[ids > 0]:
+                m = label_map == i
+                ys, xs = np.nonzero(m.reshape(-1, m.shape[-1]))
+                masks.append({"index": int(i), "area": int(m.sum())})
+        else:
+            stack = label_map if label_map.ndim == 3 else label_map[None]
             for i in range(stack.shape[0]):
                 m = stack[i] > 0
-                ys, xs = np.nonzero(m)
-                bbox = ([int(xs.min()), int(ys.min()), int(xs.max()),
-                         int(ys.max())] if ys.size else [0, 0, 0, 0])
-                masks.append({"index": i, "area": int(m.sum()), "bbox": bbox})
-        return {"image": _png_b64(image), "shape": list(image.shape),
-                "masks": masks}
+                masks.append({"index": i, "area": int(m.sum())})
+        return masks
+
+    @staticmethod
+    def _slice_label_map(stack: Optional[np.ndarray], is_3d: bool,
+                         z: int) -> Optional[np.ndarray]:
+        if stack is None:
+            return None
+        if is_3d:
+            return np.asarray(stack[z])
+        # 2D: per-mask stack → composite label map (index i → label i+1)
+        s = stack if stack.ndim == 3 else stack[None]
+        comp = np.zeros(s.shape[1:], np.int32)
+        for i in range(s.shape[0]):
+            comp = np.where(s[i] > 0, i + 1, comp)
+        return comp
+
+    def run_payload(self, name: str, z: Optional[int] = None):
+        """One viewable slice + overlay + mask metadata. For 3D stacks the
+        z-slider scrolls slices (reference annotation_viewer_3d.py)."""
+        image, stack = self._load(name)
+        is_3d = image.ndim == 3
+        nz = image.shape[0] if is_3d else 1
+        if z is None:
+            z = nz // 2 if is_3d else 0
+        z = max(0, min(nz - 1, int(z)))
+        img2d = image[z] if is_3d else image
+        label2d = self._slice_label_map(stack, is_3d, z)
+        masks = self._mask_entries(stack, by_value=is_3d)
+        out = {"image": _png_b64(img2d), "shape": list(img2d.shape),
+               "masks": masks, "nz": nz, "z": z}
+        if label2d is not None and label2d.any():
+            out["overlay"] = _overlay_b64(label2d)
+        return out
 
     def annotate(self, payload: dict):
         run = payload.pop("run")
@@ -199,7 +339,12 @@ def _make_handler(app: AnnotationApp):
                 elif self.path == "/api/runs":
                     self._send(200, app.runs())
                 elif self.path.startswith("/api/run/"):
-                    self._send(200, app.run_payload(self.path[len("/api/run/"):]))
+                    rest = self.path[len("/api/run/"):]
+                    if "/slice/" in rest:
+                        name, zs = rest.split("/slice/", 1)
+                        self._send(200, app.run_payload(name, z=int(zs)))
+                    else:
+                        self._send(200, app.run_payload(rest))
                 elif self.path == "/api/annotations":
                     self._send(200, app.annotations)
                 elif self.path == "/api/text":

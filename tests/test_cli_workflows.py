@@ -68,7 +68,8 @@ def test_tomogram_batch_workflow(mrc_dir, tmp_path, monkeypatch):
     # shrink the model for CPU testing
     orig = loaders._adapter_cfg
 
-    def small_cfg(sam2_cfg, classifier, min_mask_area, image_size=1024):
+    def small_cfg(sam2_cfg, classifier, min_mask_area, image_size=1024,
+                  text_prompt=None):
         cfg = orig(sam2_cfg, classifier, min_mask_area, image_size=128)
         cfg.amg_cfg = AMGConfig(npoints=4, points_per_batch=8,
                                 pred_iou_thresh=0.05,
@@ -106,7 +107,8 @@ def test_micrograph_batch_workflow(tmp_path, monkeypatch, rng):
     from saber_tpu.config import AMGConfig
     orig = loaders._adapter_cfg
 
-    def small_cfg(sam2_cfg, classifier, min_mask_area, image_size=1024):
+    def small_cfg(sam2_cfg, classifier, min_mask_area, image_size=1024,
+                  text_prompt=None):
         cfg = orig(sam2_cfg, classifier, min_mask_area, image_size=128)
         cfg.amg_cfg = AMGConfig(npoints=4, points_per_batch=8,
                                 pred_iou_thresh=0.05,
@@ -171,6 +173,63 @@ class TestWebServer:
         ann_file = os.path.splitext(ann_zarr)[0] + "_annotations.json"
         saved = json.load(open(ann_file))
         assert saved["run_A"]["accepted"]["1"] == [0]
+
+    def test_3d_slice_review_and_overlay(self, tmp_path, rng):
+        """z-slider scroll-through of a 3D stack with per-label overlays
+        (reference gui/base/annotation_viewer_3d.py behaviors)."""
+        p = str(tmp_path / "vol.zarr")
+        root = zarrlite.open_group(p, "w")
+        g = root.create_group("tomo_A")
+        g.create_dataset("0", data=rng.random((6, 24, 24)).astype(np.float32))
+        labels = np.zeros((6, 24, 24), np.uint8)
+        labels[1:4, 2:10, 2:10] = 1     # object 1 spans z 1-3
+        labels[4:6, 12:20, 12:20] = 2   # object 2 spans z 4-5
+        g.create_group("labels").create_dataset("0", data=labels)
+
+        from saber_tpu.gui.web.server import run_server
+        server = run_server(p, port=0, block=False)
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            payload = json.load(urllib.request.urlopen(f"{base}/api/run/tomo_A"))
+            assert payload["nz"] == 6 and payload["z"] == 3
+            # label-map semantics: mask index == label id
+            assert [m["index"] for m in payload["masks"]] == [1, 2]
+            # z=2 shows object 1 only; z=5 shows object 2 only
+            s2 = json.load(urllib.request.urlopen(
+                f"{base}/api/run/tomo_A/slice/2"))
+            s5 = json.load(urllib.request.urlopen(
+                f"{base}/api/run/tomo_A/slice/5"))
+            assert s2["z"] == 2 and s5["z"] == 5
+            assert s2["overlay"] and s5["overlay"]
+            assert s2["overlay"] != s5["overlay"]
+            # out-of-range z clamps instead of erroring
+            s99 = json.load(urllib.request.urlopen(
+                f"{base}/api/run/tomo_A/slice/99"))
+            assert s99["z"] == 5
+        finally:
+            server.shutdown()
+
+    def test_multi_class_accept_roundtrip(self, ann_zarr):
+        """Per-class accept sets persist independently (reference
+        multi_class_segmentation_picker.py behavior)."""
+        from saber_tpu.gui.web.server import run_server
+        server = run_server(ann_zarr, port=0, block=False)
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            body = json.dumps({"run": "run_A",
+                               "accepted": {"1": [0], "2": [1]},
+                               "rejected": []}).encode()
+            req = urllib.request.Request(
+                f"{base}/api/annotate", data=body,
+                headers={"Content-Type": "application/json"})
+            assert json.load(urllib.request.urlopen(req))["ok"]
+            ann = json.load(urllib.request.urlopen(f"{base}/api/annotations"))
+            assert ann["run_A"]["accepted"] == {"1": [0], "2": [1]}
+            # 2D payload still exposes an overlay built from the mask stack
+            payload = json.load(urllib.request.urlopen(f"{base}/api/run/run_A"))
+            assert payload["nz"] == 1 and payload.get("overlay")
+        finally:
+            server.shutdown()
 
     def test_labeler_consumes_annotations(self, ann_zarr, tmp_path):
         ann = {"run_A": {"accepted": {"1": [0]}, "rejected": [1]}}
