@@ -8,7 +8,14 @@ tomogram in 60 s on one chip of a v5e-8 ⇒ 8.533 slices/sec/chip; the
 reference publishes no numbers — BASELINE.md).
 
 Env knobs: SABER_BENCH_CFG (tiny/small/base/large, default large),
-SABER_BENCH_FRAMES (default 16), SABER_BENCH_IMAGE (default 1024).
+SABER_BENCH_FRAMES (default 16), SABER_BENCH_IMAGE (default 1024),
+SABER_BENCH_MODE:
+  propagation (default) — the headline slices/sec number
+  amg  — BASELINE config 2: full AMG (32×32 grid, 2 crop layers, m2m) on
+         a slab-projection image; reports seconds/image
+  e2e  — BASELINE config 3: tomoSegmenter.segment_vol on a synthetic
+         512³ volume (AMG seeding + bidirectional propagation + presence
+         gating); reports wall-clock seconds, vs_baseline = 60 s / value
 """
 
 import json
@@ -18,6 +25,109 @@ import time
 import numpy as np
 
 BASELINE_SLICES_PER_SEC = 512.0 / 60.0  # north-star, BASELINE.md
+NORTH_STAR_E2E_SECONDS = 60.0
+
+
+def _bench_amg(on_tpu: bool):
+    """Full-defaults AMG over a synthetic slab projection (config 2)."""
+    import jax.numpy as jnp
+
+    from saber_tpu.amg import build_amg
+    from saber_tpu.config import AMGConfig
+    from saber_tpu.models.sam2 import build_sam2
+    from saber_tpu.ops import preprocessing as prep
+
+    cfg_name = os.environ.get("SABER_BENCH_CFG", "base")
+    image_size = int(os.environ.get("SABER_BENCH_IMAGE", "1024"))
+    if not on_tpu:
+        cfg_name, image_size = "tiny", 128
+    amg_cfg = (AMGConfig() if on_tpu else
+               AMGConfig(npoints=8, points_per_batch=16, crop_n_layers=1,
+                         max_masks=32))
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model, params = build_sam2(cfg_name, image_size=image_size, dtype=dtype)
+    amg = build_amg(model, params, amg_cfg)
+
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((64, image_size, image_size)).astype(np.float32)
+    for i in range(6):
+        c = 100 + 120 * i
+        vol[:, c % image_size:(c % image_size) + 80,
+            (c * 3) % image_size:((c * 3) % image_size) + 80] += 2.5
+    img = np.asarray(prep.prepare(
+        jnp.asarray(prep.project_tomogram(jnp.asarray(vol), 32, 10)),
+        to_rgb=True))
+
+    masks = amg.generate(img)       # compile warmup
+    reps = 3 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        masks = amg.generate(img)
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "metric": f"AMG slab seeding (hiera-{cfg_name}, {image_size}px, "
+                  f"{amg_cfg.npoints}² grid, {amg_cfg.crop_n_layers} crop "
+                  f"layers, m2m={amg_cfg.use_m2m}; {len(masks)} masks)",
+        "value": round(dt, 3),
+        "unit": "sec/image",
+        "vs_baseline": round(NORTH_STAR_E2E_SECONDS / dt, 3) if dt else 0.0,
+    }
+
+
+def _bench_e2e(on_tpu: bool):
+    """tomoSegmenter.segment_vol on a synthetic volume (config 3)."""
+    from saber_tpu.config import AMGConfig, SAM2AdapterConfig
+    from saber_tpu.segmenters.tomo import tomoSegmenter
+
+    cfg_name = os.environ.get("SABER_BENCH_CFG", "large")
+    depth = int(os.environ.get("SABER_BENCH_FRAMES", "512"))
+    image_size = int(os.environ.get("SABER_BENCH_IMAGE", "1024"))
+    side = int(os.environ.get("SABER_BENCH_SIDE", "512"))
+    if not on_tpu:
+        cfg_name, depth, image_size, side = "tiny", 8, 128, 64
+    # full grid/crop shape but permissive score thresholds + small capacity:
+    # the driver runs without converted weights, where the default 0.7 IoU
+    # gate would seed nothing and skip the propagation stage entirely
+    amg_cfg = (AMGConfig(sam2_cfg=cfg_name, pred_iou_thresh=0.05,
+                         stability_score_thresh=0.0, max_masks=8) if on_tpu
+               else
+               AMGConfig(sam2_cfg=cfg_name, npoints=4, points_per_batch=8,
+                         crop_n_layers=0, use_m2m=False, max_masks=8,
+                         pred_iou_thresh=0.05, stability_score_thresh=0.0))
+    cfg = SAM2AdapterConfig(
+        cfg=cfg_name, image_size=image_size, amg_cfg=amg_cfg,
+        dtype="bfloat16" if on_tpu else "float32", min_mask_area=10)
+    seg = tomoSegmenter(cfg=cfg, min_mask_area=10)
+
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((depth, side, side)).astype(np.float32) * 0.1
+    z0, z1 = depth // 4, 3 * depth // 4
+    q = side // 4
+    vol[z0:z1, q:3 * q, q:3 * q] += 2.0           # central organelle blob
+    vol[z0:z1, q // 2:q, q // 2:q] += 2.5         # a smaller second object
+
+    t0 = time.perf_counter()
+    out = seg.segment(vol, thickness=10)
+    if out is None:
+        # AMG found no seeds (possible with random weights): still measure
+        # the propagation stage with synthetic seed masks so the e2e number
+        # always covers the full slab-seed + propagate + gate flow
+        seed = np.zeros((2, side, side), np.float32)
+        seed[0, q:3 * q, q:3 * q] = 1.0
+        seed[1, q // 2:q, q // 2:q] = 1.0
+        seg.adapter.set_volume(seg.vol if seg.vol is not None else vol)
+        out = seg.adapter.segment_volume(depth // 2, masks=seed,
+                                         min_presence_score=0.0)
+    dt = time.perf_counter() - t0
+    n_masks = int(out.max()) if out is not None else 0
+    return {
+        "metric": f"e2e segment_vol {depth}×{side}×{side} "
+                  f"(hiera-{cfg_name}: AMG seeding + bidirectional "
+                  f"propagation + presence gating; {n_masks} objects)",
+        "value": round(dt, 3),
+        "unit": "seconds",
+        "vs_baseline": round(NORTH_STAR_E2E_SECONDS / dt, 3) if dt else 0.0,
+    }
 
 
 def main():
@@ -35,6 +145,13 @@ def main():
 
     from saber_tpu.models.sam2 import build_sam2
     from saber_tpu.models.video import VideoCore, init_state
+
+    mode = os.environ.get("SABER_BENCH_MODE", "propagation")
+    if mode in ("amg", "e2e"):
+        on_tpu = jax.default_backend() not in ("cpu",)
+        result = _bench_amg(on_tpu) if mode == "amg" else _bench_e2e(on_tpu)
+        print(json.dumps(result))
+        return
 
     cfg_name = os.environ.get("SABER_BENCH_CFG", "large")
     n_frames = int(os.environ.get("SABER_BENCH_FRAMES", "16"))
