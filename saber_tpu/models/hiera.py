@@ -105,8 +105,49 @@ class MultiScaleAttention(nn.Module):
         return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-shaped params (kernel/bias) without applying them —
+    the fused-kernel path reads the same checkpoint tree the flax path owns."""
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.linear.default_kernel_init,
+                       (self.in_dim, self.out_dim))
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """LayerNormFast-shaped params (scale/bias), value-only."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _AttnParams(nn.Module):
+    """MultiScaleAttention-shaped params (qkv/proj), value-only."""
+    dim: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self):
+        return (_DenseParams(self.dim, 3 * self.dim_out, name="qkv")(),
+                _DenseParams(self.dim_out, self.dim_out, name="proj")())
+
+
 class MultiScaleBlock(nn.Module):
-    """Hiera block: (windowed) attention + MLP with stage-transition pooling."""
+    """Hiera block: (windowed) attention + MLP with stage-transition pooling.
+
+    With ``fused=True`` the same-dim windowed blocks run the fused Pallas
+    kernels (ops/fused_block.py): LN + window attention + proj + residual
+    and LN + MLP + residual each stay in VMEM instead of round-tripping
+    every stage through HBM. Parameter tree is identical either way.
+    """
     dim: int
     dim_out: int
     num_heads: int
@@ -114,9 +155,40 @@ class MultiScaleBlock(nn.Module):
     q_stride: Optional[Tuple[int, int]] = None
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
+        fused_attn = (
+            self.fused and self.window_size > 0 and self.q_stride is None
+            and self.dim == self.dim_out
+            and x.shape[1] % self.window_size == 0
+            and x.shape[2] % self.window_size == 0)
+        if fused_attn or self.fused:
+            from saber_tpu.ops.fused_block import (fused_mlp,
+                                                   fused_window_attention)
+        if fused_attn:
+            ln_s, ln_b = _LNParams(self.dim, name="norm1")()
+            (qkv_k, qkv_b), (proj_k, proj_b) = _AttnParams(
+                self.dim, self.dim_out, name="attn")()
+            x = fused_window_attention(
+                x, ln_s, ln_b, qkv_k.astype(self.dtype), qkv_b,
+                proj_k.astype(self.dtype), proj_b,
+                window=self.window_size, num_heads=self.num_heads)
+        else:
+            x = self._attention_path(x)
+
+        if self.fused:
+            hidden = int(self.dim_out * self.mlp_ratio)
+            ln2_s, ln2_b = _LNParams(self.dim_out, name="norm2")()
+            k1, b1 = _DenseParams(self.dim_out, hidden, name="mlp_fc1")()
+            k2, b2 = _DenseParams(hidden, self.dim_out, name="mlp_fc2")()
+            return fused_mlp(x, ln2_s, ln2_b, k1.astype(self.dtype), b1,
+                             k2.astype(self.dtype), b2)
+        return self._mlp_path(x)
+
+    # helpers run inside __call__'s compact context (single-compact rule)
+    def _attention_path(self, x):
         shortcut = x
         x = LayerNormFast(name="norm1")(x)
 
@@ -144,7 +216,9 @@ class MultiScaleBlock(nn.Module):
         if self.window_size > 0:
             x = window_unpartition(x, window, pad_hw, hw)
 
-        x = shortcut + x
+        return shortcut + x
+
+    def _mlp_path(self, x):
         y = LayerNormFast(name="norm2")(x)
         hidden = int(self.dim_out * self.mlp_ratio)
         bb, hh, ww, cc = y.shape
@@ -168,6 +242,7 @@ class Hiera(nn.Module):
     dim_mul: float = 2.0
     head_mul: float = 2.0
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False  # fused Pallas block kernels (ops/fused_block.py)
     # Store the background pos embedding at full /4 resolution instead of
     # re-interpolating the (7,7) torch parameterization inside every call
     # (checkpoint loading interpolates once in weights.py/bake_pos_embed;
@@ -237,7 +312,7 @@ class Hiera(nn.Module):
                 dim=embed_dim, dim_out=dim_out, num_heads=num_heads,
                 window_size=window_size,
                 q_stride=self.q_stride if i in q_pool_blocks else None,
-                dtype=self.dtype, name=f"blocks_{i}")(x)
+                dtype=self.dtype, fused=self.fused, name=f"blocks_{i}")(x)
             embed_dim = dim_out
             if i in stage_ends:
                 outputs.append(x)

@@ -50,6 +50,7 @@ class SAM2Config:
     sigmoid_scale_for_mem_enc: float = 20.0
     sigmoid_bias_for_mem_enc: float = -10.0
     dtype: Any = jnp.float32
+    fused_encoder: bool = False  # fused Pallas MultiScaleBlock kernels
 
     @property
     def backbone_channel_list(self):
@@ -81,11 +82,16 @@ PRESETS: Dict[str, Dict[str, Any]] = {
 
 
 def get_config(name: str, image_size: int = 1024, dtype=jnp.float32,
-               num_maskmem: int = 7) -> SAM2Config:
+               num_maskmem: int = 7,
+               fused_encoder: Optional[bool] = None) -> SAM2Config:
     if name not in PRESETS:
         raise ValueError(f"unknown SAM2 config '{name}', want one of {list(PRESETS)}")
+    if fused_encoder is None:
+        import os
+        fused_encoder = os.environ.get("SABER_FUSED_BLOCK", "0") == "1"
     return SAM2Config(name=name, image_size=image_size, dtype=dtype,
-                      num_maskmem=num_maskmem, **PRESETS[name])
+                      num_maskmem=num_maskmem, fused_encoder=fused_encoder,
+                      **PRESETS[name])
 
 
 class SAM2(nn.Module):
@@ -99,7 +105,8 @@ class SAM2(nn.Module):
                 embed_dim=cfg.embed_dim, num_heads=cfg.num_heads,
                 stages=cfg.stages, global_att_blocks=cfg.global_att_blocks,
                 window_pos_embed_bkg_spatial_size=cfg.window_pos_embed_bkg_spatial_size,
-                window_spec=cfg.window_spec, dtype=cfg.dtype, name="trunk"),
+                window_spec=cfg.window_spec, dtype=cfg.dtype,
+                fused=cfg.fused_encoder, name="trunk"),
             neck=FpnNeck(d_model=cfg.d_model,
                          backbone_channel_list=cfg.backbone_channel_list,
                          name="neck"),
@@ -284,7 +291,8 @@ def bake_pos_embed(params, config: SAM2Config):
 
 def build_sam2(cfg_name: str = "tiny", image_size: int = 1024,
                dtype=jnp.float32, num_maskmem: int = 7,
-               checkpoint: Optional[str] = None, seed: int = 0):
+               checkpoint: Optional[str] = None, seed: int = 0,
+               fused_encoder: Optional[bool] = None):
     """Build a SAM2 model + params.
 
     Analog of the sam2 package's build_sam2 (reference automask.py:56-62).
@@ -293,7 +301,7 @@ def build_sam2(cfg_name: str = "tiny", image_size: int = 1024,
     Returns (model, params).
     """
     config = get_config(cfg_name, image_size=image_size, dtype=dtype,
-                        num_maskmem=num_maskmem)
+                        num_maskmem=num_maskmem, fused_encoder=fused_encoder)
     model = SAM2(config)
     if checkpoint is not None:
         from saber_tpu.models.weights import load_checkpoint
