@@ -68,6 +68,20 @@ class SAM2Adapter(BaseAdapter):
         self.inference_state: Optional[Dict[str, Any]] = None
         self._config = config
         self._mask_generator = None
+        self.mesh = None
+
+    def set_mesh(self, mesh) -> None:
+        """Shard z-slab encoding over a device mesh (SURVEY.md §5
+        long-context mapping: slices are embarrassingly parallel through
+        the encoder; the propagation scan stays sequential per object).
+        Pass a ``jax.sharding.Mesh`` with a ``data`` axis; ``encode_chunk``
+        rounds up to a multiple of the axis size so every chunk shards
+        evenly."""
+        self.mesh = mesh
+        if mesh is not None:
+            n = int(np.prod(mesh.devices.shape))
+            self.encode_chunk = max(self.encode_chunk,
+                                    ((self.encode_chunk + n - 1) // n) * n)
 
     # ------------------------------------------------------------------
     # 2D segmentation
@@ -242,8 +256,23 @@ class SAM2Adapter(BaseAdapter):
                        scores_np[j])
 
     def _encode_frames_at(self, state, idxs):
-        batch = self._frames_for(state, idxs)
+        idxs = np.asarray(idxs)
+        n = len(idxs)
+        if self.mesh is not None:
+            # pad to the mesh axis size (repeat the last index), shard the
+            # frame axis over chips, crop the padding after encoding
+            from saber_tpu.parallel.mesh import shard_batch
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            pad = (-n) % n_dev
+            if pad:
+                idxs = np.concatenate([idxs, np.repeat(idxs[-1:], pad)])
+            batch = shard_batch(self.mesh, self._frames_for(state, idxs))
+        else:
+            batch = self._frames_for(state, idxs)
         bb = self.core.encode_batch(self.params, batch)
+        if len(idxs) != n:
+            bb = jax.tree.map(
+                lambda x: x[:n] if getattr(x, "ndim", 0) == 4 else x, bb)
         return VideoCore.slab_frames(bb)
 
     # ------------------------------------------------------------------

@@ -1,0 +1,200 @@
+"""Annotation-session logic shared by the Qt viewers and the web GUI.
+
+The reference implements these behaviors inside Qt widget classes
+(saber/gui/base/annotation_viewer.py, annotation_viewer_3d.py:17-477,
+multi_class_segmentation_picker.py); here the state machine is a plain
+testable class and the Qt widgets are thin shells, so the same logic
+drives the dependency-free web annotator too.
+
+Behaviors mirrored from the reference viewers:
+- label-volume preparation: accept a label map directly or collapse a
+  stack of binary masks to 1-based labels (annotation_viewer_3d.py:53-78)
+- TAB10-cycled palette LUT for unannotated labels (:79-102)
+- left/right LUTs: candidates colored on the left, only annotated labels
+  colored (by class) on the right (:103-132)
+- O(1) picking via the label map (:325-379)
+- class assignment / removal with undo across runs (segmentation_picker
+  undo stack), persisted in the apply_labels JSON schema
+"""
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+TAB10 = np.array([
+    [31, 119, 180], [255, 127, 14], [44, 160, 44], [214, 39, 40],
+    [148, 103, 189], [140, 86, 75], [227, 119, 194], [127, 127, 127],
+    [188, 189, 34], [23, 190, 207]], np.uint8)
+
+
+def prepare_label_volume(masks) -> Tuple[np.ndarray, int]:
+    """Masks → (int32 label volume, max label).
+
+    A label map (integer array) passes through; a stack of binary masks
+    (N, H, W) or (N, Z, H, W) collapses to 1-based labels, later masks
+    painting over earlier (reference annotation_viewer_3d.py:53-78).
+    """
+    masks = np.asarray(masks)
+    if np.issubdtype(masks.dtype, np.integer) and masks.ndim in (2, 3):
+        lab = masks.astype(np.int32)
+        return lab, int(lab.max())
+    if masks.ndim >= 3:  # stack of binary masks
+        stack = masks > 0.5
+        lab = np.zeros(stack.shape[1:], np.int32)
+        for i in range(stack.shape[0]):
+            lab = np.where(stack[i], i + 1, lab)
+        return lab, int(stack.shape[0])
+    raise ValueError(f"cannot interpret masks with shape {masks.shape}")
+
+
+def build_palette_lut(max_label: int, alpha: int = 110) -> np.ndarray:
+    """(max_label+1, 4) RGBA LUT: label 0 transparent, others TAB10-cycled."""
+    lut = np.zeros((max_label + 1, 4), np.uint8)
+    if max_label:
+        ids = np.arange(1, max_label + 1)
+        lut[1:, :3] = TAB10[(ids - 1) % len(TAB10)]
+        lut[1:, 3] = alpha
+    return lut
+
+
+class AnnotationSession:
+    """Per-zarr annotation state: class assignment, undo, persistence."""
+
+    def __init__(self, class_dict: Optional[Dict[str, str]] = None,
+                 ann_path: Optional[str] = None):
+        self.class_dict = dict(class_dict or {})
+        self.ann_path = ann_path
+        # {run: {"accepted": {class: [label,...]}, "rejected": [label,...]}}
+        self.annotations: Dict[str, Dict] = {}
+        self._undo: List[Tuple[str, int, Optional[str]]] = []
+        if ann_path and os.path.exists(ann_path):
+            with open(ann_path) as f:
+                self.annotations = json.load(f)
+
+    # -- state queries ---------------------------------------------------
+
+    def _run(self, run: str) -> Dict:
+        return self.annotations.setdefault(
+            run, {"accepted": {}, "rejected": []})
+
+    def state_of(self, run: str, label: int) -> Optional[str]:
+        """Class id string, 'rejected', or None."""
+        r = self._run(run)
+        if label in r["rejected"]:
+            return "rejected"
+        for cls, labels in r["accepted"].items():
+            if label in labels:
+                return cls
+        return None
+
+    def labels_of_class(self, run: str, cls) -> List[int]:
+        return list(self._run(run)["accepted"].get(str(cls), []))
+
+    def annotated_runs(self) -> List[str]:
+        return sorted(r for r, a in self.annotations.items()
+                      if a.get("accepted") or a.get("rejected"))
+
+    # -- mutations (undoable) ---------------------------------------------
+
+    def _clear(self, run: str, label: int):
+        r = self._run(run)
+        r["rejected"] = [x for x in r["rejected"] if x != label]
+        for labels in r["accepted"].values():
+            if label in labels:
+                labels.remove(label)
+
+    def assign(self, run: str, label: int, cls) -> None:
+        """Assign label to a class (removing any previous state)."""
+        if label <= 0:
+            return
+        self._undo.append((run, label, self.state_of(run, label)))
+        self._clear(run, label)
+        self._run(run)["accepted"].setdefault(str(cls), []).append(label)
+
+    def reject(self, run: str, label: int) -> None:
+        if label <= 0:
+            return
+        self._undo.append((run, label, self.state_of(run, label)))
+        self._clear(run, label)
+        self._run(run)["rejected"].append(label)
+
+    def remove(self, run: str, label: int) -> None:
+        """Clear any annotation for the label (viewer 'remove' key,
+        reference annotation_viewer_3d.py:380-423)."""
+        self._undo.append((run, label, self.state_of(run, label)))
+        self._clear(run, label)
+
+    def undo(self) -> bool:
+        """Undo the last mutation, across runs (picker undo stack)."""
+        if not self._undo:
+            return False
+        run, label, prev = self._undo.pop()
+        self._clear(run, label)
+        if prev == "rejected":
+            self._run(run)["rejected"].append(label)
+        elif prev is not None:
+            self._run(run)["accepted"].setdefault(prev, []).append(label)
+        return True
+
+    # -- rendering helpers -------------------------------------------------
+
+    def left_right_luts(self, run: str, max_label: int
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """Candidate LUT (left view) + annotated-only LUT (right view),
+        reference annotation_viewer_3d.py:103-132."""
+        left = build_palette_lut(max_label)
+        right = np.zeros_like(left)
+        r = self._run(run)
+        for cls, labels in r["accepted"].items():
+            color = TAB10[(int(cls) - 1) % len(TAB10)]
+            for lab in labels:
+                if 0 < lab <= max_label:
+                    right[lab, :3] = color
+                    right[lab, 3] = 170
+                    left[lab, :3] = color      # annotated shows class color
+        for lab in r["rejected"]:
+            if 0 < lab <= max_label:
+                left[lab] = (60, 60, 60, 60)   # dimmed
+        return left, right
+
+    @staticmethod
+    def pick(label_map: np.ndarray, y: int, x: int) -> int:
+        """O(1) label under a click (reference :325-341)."""
+        h, w = label_map.shape[-2:]
+        if not (0 <= y < h and 0 <= x < w):
+            return 0
+        return int(label_map[..., y, x] if label_map.ndim == 2
+                   else label_map[y, x])
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: Optional[str] = None) -> str:
+        path = path or self.ann_path
+        if not path:
+            raise ValueError("no annotation path configured")
+        with open(path, "w") as f:
+            json.dump(self.annotations, f, indent=1)
+        return path
+
+
+class SliceNavigator:
+    """z-slider state for 3D review (reference annotation_viewer_3d
+    slider + debounce, :214-246)."""
+
+    def __init__(self, n_slices: int):
+        self.n_slices = int(n_slices)
+        self.current = self.n_slices // 2
+
+    def set(self, z: int) -> int:
+        self.current = max(0, min(self.n_slices - 1, int(z)))
+        return self.current
+
+    def step(self, delta: int) -> int:
+        return self.set(self.current + delta)
+
+    @staticmethod
+    def labels_in_slice(label_volume: np.ndarray, z: int) -> List[int]:
+        ids = np.unique(label_volume[z])
+        return [int(i) for i in ids if i > 0]

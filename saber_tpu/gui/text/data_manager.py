@@ -1,0 +1,100 @@
+"""Zarr-backed persistence for text annotations
+(reference saber/gui/text/data_manager.py:14-500).
+
+Pure-Python: reads run images/masks from a candidate zarr, keeps per-run
+global text + per-segmentation descriptions in memory, and persists to
+``<save_path>`` as JSON (the reference writes an annotations zarr + JSON
+sidecar; the JSON schema here matches the web GUI's
+``*_text_annotations.json``, gui/web/server.py annotate_text).
+"""
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from saber_tpu.gui.text.hashtag_manager import HashtagManager
+from saber_tpu.utils import zarrlite
+
+
+class TextAnnotationDataManager:
+    def __init__(self, zarr_path: str, save_path: Optional[str] = None):
+        self.zarr_path = zarr_path
+        self.save_path = save_path or (
+            os.path.splitext(zarr_path)[0] + "_text_annotations.json")
+        self.root = zarrlite.Group(zarr_path)
+        self.run_ids: List[str] = list(self.root.keys())
+        # {run: {"global_text": str, "segmentations": {seg_id: text}}}
+        self.text_data: Dict[str, Dict[str, Any]] = {}
+        if os.path.exists(self.save_path):
+            with open(self.save_path) as f:
+                self.text_data = json.load(f)
+
+    # -- zarr reads ---------------------------------------------------------
+
+    def read_data(self, run_id: str) -> Tuple[np.ndarray, np.ndarray]:
+        """(image, masks) for one run; masks (N, H, W) or (Z, H, W)."""
+        grp = self.root[run_id]
+        image = np.asarray(grp["0"])
+        if "labels" in grp and "0" in grp["labels"]:
+            masks = np.asarray(grp["labels"]["0"])
+        else:
+            masks = np.zeros((0, *image.shape[-2:]), np.uint8)
+        return image, masks
+
+    # -- in-memory text -----------------------------------------------------
+
+    def _run(self, run_id: str) -> Dict[str, Any]:
+        return self.text_data.setdefault(
+            run_id, {"global_text": "", "segmentations": {}})
+
+    def save_text_to_memory(self, run_id: str, global_text: str,
+                            selected_id: Optional[int] = None,
+                            seg_text: str = "") -> None:
+        r = self._run(run_id)
+        r["global_text"] = global_text
+        if selected_id is not None:
+            r["segmentations"][str(selected_id)] = seg_text
+
+    def get_global_text(self, run_id: str) -> str:
+        return self._run(run_id).get("global_text", "")
+
+    def get_segmentation_text(self, run_id: str, seg_id) -> str:
+        return self._run(run_id)["segmentations"].get(str(seg_id), "")
+
+    def annotated_runs(self) -> List[str]:
+        return sorted(r for r, d in self.text_data.items()
+                      if d.get("global_text")
+                      or any(d.get("segmentations", {}).values()))
+
+    # -- persistence ----------------------------------------------------------
+
+    def load_run_annotations(self, run_id: str,
+                             hashtag_manager: HashtagManager) -> None:
+        """Rebuild hashtag state for one run from stored text."""
+        hashtag_manager.clear_run_hashtags(run_id)
+        r = self._run(run_id)
+        hashtag_manager.add_hashtags_from_global(run_id, r["global_text"])
+        for seg_id, text in r.get("segmentations", {}).items():
+            hashtag_manager.add_hashtags_from_segmentation(run_id, seg_id,
+                                                           text)
+
+    def save_run_annotations(self, run_id: str,
+                             hashtag_manager: HashtagManager) -> str:
+        """Persist all text + hashtags to JSON (reference :236-292)."""
+        self.load_run_annotations(run_id, hashtag_manager)
+        payload = dict(self.text_data)
+        payload.setdefault("_hashtags", {})
+        payload["_hashtags"] = hashtag_manager.get_data_for_save()
+        with open(self.save_path, "w") as f:
+            json.dump(payload, f, indent=1)
+        return self.save_path
+
+    def load_saved(self, hashtag_manager: HashtagManager) -> None:
+        if not os.path.exists(self.save_path):
+            return
+        with open(self.save_path) as f:
+            payload = json.load(f)
+        hashtag_manager.load_data_from_save(payload.pop("_hashtags", {}))
+        self.text_data = payload

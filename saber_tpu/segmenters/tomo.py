@@ -102,16 +102,17 @@ class multiDepthTomoSegmenter(tomoSegmenter):
             return self.single_segment(vol, thickness, num_slabs, delta_z)
         raise NotImplementedError("Multiclass segmentation is not implemented yet")
 
+    @staticmethod
+    def _slab_centers(depth: int, num_slabs: int, delta_z: int):
+        center = depth // 2
+        return [int(center + (i - num_slabs // 2) * delta_z)
+                for i in range(num_slabs)
+                if 0 <= center + (i - num_slabs // 2) * delta_z < depth]
+
     def single_segment(self, vol, thickness, num_slabs, delta_z):
         """Per-slab propagation merged by max (reference tomo.py:205-253)."""
-        depth = vol.shape[0]
-        center = depth // 2
         combined = np.zeros(vol.shape, dtype=np.uint16)
-        for i in range(num_slabs):
-            offset = (i - num_slabs // 2) * delta_z
-            slab_center = int(center + offset)
-            if slab_center < 0 or slab_center >= depth:
-                continue
+        for slab_center in self._slab_centers(vol.shape[0], num_slabs, delta_z):
             masks3d = self.segment_vol(vol, thickness, zSlice=slab_center,
                                        display=False)
             if masks3d is None:
@@ -122,3 +123,42 @@ class multiDepthTomoSegmenter(tomoSegmenter):
             from saber_tpu.visualization import results as cryoviz
             cryoviz.view_3d_seg(vol, combined)
         return combined
+
+    def parallel_segment(self, vol, thickness, num_slabs: int = 3,
+                         delta_z: int = 30,
+                         num_devices: Optional[int] = None):
+        """Multi-chip single-volume segmentation: each slab center's
+        seed + bidirectional propagation runs on its own chip.
+
+        The reference loops slabs serially on one GPU (tomo.py:205-253);
+        the per-slab jobs are independent, so they farm over a DevicePool
+        with one segmenter replica per chip. The binarized max-merge is
+        order-independent, so the result is identical to single_segment.
+        """
+        from saber_tpu.parallel.pool import DevicePool
+
+        centers = self._slab_centers(vol.shape[0], num_slabs, delta_z)
+        mma, cfg = self.min_mask_area, self.adapter_cfg
+        pool = DevicePool(
+            init_fn=lambda i: {"seg": tomoSegmenter(
+                deviceID=i, cfg=cfg, min_mask_area=mma)},
+            num_devices=num_devices)
+
+        def work(slab_center, device_id, models):
+            seg = models["seg"]
+            seg.filter_threshold = self.filter_threshold
+            seg._vol_loaded = False
+            return seg.segment_vol(vol, thickness, zSlice=slab_center,
+                                   display=False)
+
+        out = pool.execute(work, centers)
+        failed = [r for r in out["results"] if not r["success"]]
+        if failed:
+            raise RuntimeError(
+                f"{len(failed)} slab jobs failed: {failed[0]['error']}")
+        combined = np.zeros(vol.shape, dtype=np.uint16)
+        for r in out["results"]:
+            if r["result"] is not None:
+                np.maximum(combined, (r["result"] > 0).astype(np.uint16),
+                           out=combined)
+        return utils.separate_masks(combined)

@@ -1,0 +1,167 @@
+"""GUI controller/session logic tests (no Qt required).
+
+The Qt viewers (gui/base/annotation_viewer*.py, gui/text/
+segmentation_viewer.py) are thin shells over these classes — the
+behaviors the reference implements inside widgets
+(annotation_viewer_3d.py:53-132, 325-423; text GUI data/controller
+stack) are tested here directly.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from saber_tpu.gui.base.annotation_session import (AnnotationSession,
+                                                   SliceNavigator,
+                                                   build_palette_lut,
+                                                   prepare_label_volume)
+from saber_tpu.gui.text.annotation_controller import TextAnnotationController
+from saber_tpu.gui.text.data_manager import TextAnnotationDataManager
+from saber_tpu.gui.text.hashtag_manager import HashtagManager
+from saber_tpu.utils import zarrlite
+
+
+class TestAnnotationSession:
+    def test_prepare_label_volume_stack_and_map(self):
+        stack = np.zeros((2, 8, 8), np.float32)
+        stack[0, :4, :4] = 1
+        stack[1, 2:6, 2:6] = 1
+        lab, n = prepare_label_volume(stack)
+        assert n == 2
+        assert lab[0, 0] == 1 and lab[5, 5] == 2
+        assert lab[3, 3] == 2  # later masks paint over earlier
+
+        lmap = np.zeros((4, 4), np.int32)
+        lmap[1, 1] = 7
+        lab2, n2 = prepare_label_volume(lmap)
+        assert n2 == 7 and lab2[1, 1] == 7
+
+    def test_palette_lut(self):
+        lut = build_palette_lut(12)
+        assert lut.shape == (13, 4)
+        assert tuple(lut[0]) == (0, 0, 0, 0)          # background transparent
+        assert (lut[1:, 3] > 0).all()
+        assert tuple(lut[1][:3]) == tuple(lut[11][:3])  # TAB10 cycles at 10
+
+    def test_assign_reject_undo_across_runs(self):
+        s = AnnotationSession({"1": "mito", "2": "ribo"})
+        s.assign("run_A", 3, 1)
+        s.assign("run_B", 5, 2)
+        s.reject("run_A", 4)
+        assert s.state_of("run_A", 3) == "1"
+        assert s.state_of("run_B", 5) == "2"
+        assert s.state_of("run_A", 4) == "rejected"
+        # reassign moves between classes
+        s.assign("run_A", 3, 2)
+        assert s.state_of("run_A", 3) == "2"
+        assert 3 not in s.labels_of_class("run_A", 1)
+        # undo unwinds across runs in order
+        assert s.undo()                 # undo reassign → back to class 1
+        assert s.state_of("run_A", 3) == "1"
+        assert s.undo()                 # undo reject
+        assert s.state_of("run_A", 4) is None
+        assert s.undo() and s.undo()
+        assert not s.undo()             # stack empty
+
+    def test_remove_and_luts(self):
+        s = AnnotationSession()
+        s.assign("r", 2, 1)
+        s.reject("r", 3)
+        left, right = s.left_right_luts("r", 4)
+        assert right[2, 3] > 0          # annotated visible on the right
+        assert right[1, 3] == 0         # unannotated hidden on the right
+        assert tuple(left[3]) == (60, 60, 60, 60)   # rejected dimmed
+        s.remove("r", 2)
+        assert s.state_of("r", 2) is None
+        _, right = s.left_right_luts("r", 4)
+        assert right[2, 3] == 0
+
+    def test_pick_and_persistence(self, tmp_path):
+        lab = np.zeros((6, 6), np.int32)
+        lab[2:4, 2:4] = 9
+        assert AnnotationSession.pick(lab, 3, 3) == 9
+        assert AnnotationSession.pick(lab, 0, 0) == 0
+        assert AnnotationSession.pick(lab, 99, 0) == 0  # out of range safe
+
+        p = str(tmp_path / "ann.json")
+        s = AnnotationSession({"1": "m"}, ann_path=p)
+        s.assign("r", 9, 1)
+        s.save()
+        s2 = AnnotationSession(ann_path=p)
+        assert s2.state_of("r", 9) == "1"
+        # schema consumed by apply_labels / web GUI
+        saved = json.load(open(p))
+        assert saved["r"]["accepted"]["1"] == [9]
+
+    def test_slice_navigator(self):
+        nav = SliceNavigator(10)
+        assert nav.current == 5
+        assert nav.set(99) == 9 and nav.set(-3) == 0
+        assert nav.step(2) == 2
+        vol = np.zeros((3, 4, 4), np.int32)
+        vol[1, 0, 0] = 2
+        vol[1, 1, 1] = 5
+        assert SliceNavigator.labels_in_slice(vol, 1) == [2, 5]
+        assert SliceNavigator.labels_in_slice(vol, 0) == []
+
+
+@pytest.fixture()
+def text_zarr(tmp_path, rng):
+    p = str(tmp_path / "cand.zarr")
+    root = zarrlite.open_group(p, "w")
+    for run in ("run_A", "run_B"):
+        g = root.create_group(run)
+        g.create_dataset("0", data=rng.random((16, 16)).astype(np.float32))
+        stack = np.zeros((2, 16, 16), np.uint8)
+        stack[0, :8, :8] = 1
+        stack[1, 8:, 8:] = 1
+        g.create_group("labels").create_dataset("0", data=stack)
+    return p
+
+
+class TestTextAnnotationStack:
+    def test_hashtag_manager(self):
+        hm = HashtagManager()
+        assert hm.extract_hashtags("a #mito and #double-membrane!") == {
+            "#mito", "#double-membrane"}
+        hm.add_hashtags_from_global("r", "#mito here")
+        hm.add_hashtags_from_segmentation("r", 2, "#ribo")
+        assert hm.all_hashtags("r") == {"#mito", "#ribo"}
+        c1 = hm.get_hashtag_color("#mito")
+        assert c1 == hm.get_hashtag_color("#mito")  # stable
+        assert c1 != hm.get_hashtag_color("#ribo")
+        data = hm.get_data_for_save()
+        hm2 = HashtagManager()
+        hm2.load_data_from_save(data)
+        assert hm2.all_hashtags("r") == {"#mito", "#ribo"}
+
+    def test_controller_roundtrip(self, text_zarr):
+        ctrl = TextAnnotationController(TextAnnotationDataManager(text_zarr))
+        state = ctrl.on_image_selected("run_A")
+        assert state["run_id"] == "run_A"
+        ctrl.on_text_changed(global_text="two organelles #mito")
+        assert ctrl.select_segmentation(1) == ""
+        ctrl.on_text_changed(seg_text="the #mito one")
+        ctrl.select_segmentation(2)       # commits seg 1's text
+        ctrl.on_text_changed(seg_text="a #ribo")
+        ctrl.accept_mask(1)
+        path = ctrl.save_current_run_data()
+
+        # fresh controller restores everything from disk
+        ctrl2 = TextAnnotationController(TextAnnotationDataManager(text_zarr))
+        state = ctrl2.on_image_selected("run_A")
+        assert state["global_text"] == "two organelles #mito"
+        assert state["segmentations"]["1"] == "the #mito one"
+        assert "#ribo" in state["hashtags"]
+        saved = json.load(open(path))
+        assert "_hashtags" in saved
+
+    def test_run_switch_commits_pending(self, text_zarr):
+        ctrl = TextAnnotationController(TextAnnotationDataManager(text_zarr))
+        ctrl.on_image_selected("run_A")
+        ctrl.on_text_changed(global_text="note A")
+        ctrl.step_run(1)                  # switch commits run_A
+        assert ctrl.current_run_id == "run_B"
+        assert ctrl.dm.get_global_text("run_A") == "note A"
+        assert ctrl.dm.annotated_runs() == ["run_A"]

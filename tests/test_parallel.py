@@ -125,3 +125,58 @@ class TestRetries:
         out = pool.execute(always_fail, [0])
         assert out["summary"]["failed"] == 1
         assert "nope" in out["results"][0]["error"]
+
+
+class TestMultiChipSingleVolume:
+    """VERDICT round-1 item 4: one tomogram's work distributed over all
+    devices with output identical to single-device
+    (reference serial analogs: tomo.py:205-253, propagation.py:92-118)."""
+
+    @pytest.fixture(scope="class")
+    def volume(self):
+        rng = np.random.default_rng(3)
+        vol = rng.standard_normal((8, 64, 64)).astype(np.float32) * 0.1
+        vol[2:7, 16:48, 16:48] += 2.0
+        return vol
+
+    @pytest.fixture(scope="class")
+    def small_cfg(self):
+        from saber_tpu.config import AMGConfig, SAM2AdapterConfig
+        return SAM2AdapterConfig(
+            cfg="tiny", image_size=64, dtype="float32", num_maskmem=2,
+            amg_cfg=AMGConfig(npoints=4, points_per_batch=8,
+                              pred_iou_thresh=0.05,
+                              stability_score_thresh=0.0, crop_n_layers=0,
+                              use_m2m=False, max_masks=8),
+            min_mask_area=5)
+
+    def test_parallel_slabs_match_serial(self, volume, small_cfg):
+        from saber_tpu.segmenters.tomo import multiDepthTomoSegmenter
+        seg = multiDepthTomoSegmenter(cfg=small_cfg, min_mask_area=5)
+        seg.filter_threshold = 0.0   # random weights: don't presence-gate
+        serial = seg.single_segment(volume, thickness=4, num_slabs=2,
+                                    delta_z=2)
+        parallel = seg.parallel_segment(volume, thickness=4, num_slabs=2,
+                                        delta_z=2, num_devices=8)
+        np.testing.assert_array_equal(serial, parallel)
+
+    def test_mesh_sharded_encoding_matches_unsharded(self, volume, small_cfg):
+        from saber_tpu.adapters.sam2_adapter import SAM2Adapter
+        from saber_tpu.parallel.mesh import make_mesh
+
+        mask = np.zeros((64, 64), np.float32)
+        mask[16:48, 16:48] = 1
+
+        ad = SAM2Adapter(small_cfg, encode_chunk=3)
+        ad.set_volume(volume)
+        ref = ad.segment_volume(4, masks=[mask], min_presence_score=0.0)
+
+        ad2 = SAM2Adapter(small_cfg, encode_chunk=3)
+        ad2.set_mesh(make_mesh(8))
+        assert ad2.encode_chunk == 8  # rounded up to the mesh size
+        ad2.set_volume(volume)
+        out = ad2.segment_volume(4, masks=[mask], min_presence_score=0.0)
+
+        # sharded z-slab encoding must not change the math
+        np.testing.assert_array_equal(ref, out)
+        assert out.max() >= 1
