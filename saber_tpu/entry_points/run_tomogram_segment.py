@@ -29,7 +29,8 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
                  display: bool = False, num_devices: Optional[int] = None,
                  gallery: bool = True, resume: bool = False,
                  max_retries: int = 0, filter_threshold: float = 0.5,
-                 text_prompt: Optional[str] = None):
+                 text_prompt: Optional[str] = None,
+                 parallel_slabs: bool = False):
     """Batch 3D segmentation over all runs in `input`.
 
     ``resume`` skips runs already present in the output zarr (batch
@@ -56,14 +57,26 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
         "delta_z": delta_z, "session_id": session_id,
     })
 
-    if len(runs) == 1 and display:
+    if len(runs) == 1 and (display or parallel_slabs):
         models = tomogram_workflow(0, sam2_cfg, model_config, model_weights,
                                    min_mask_area, num_slabs, target_class,
                                    text_prompt=text_prompt)
-        models["segmenter"].filter_threshold = filter_threshold
-        segment_tomogram_core(runs[0], models["segmenter"], writer,
+        seg = models["segmenter"]
+        seg.filter_threshold = filter_threshold
+        if parallel_slabs and num_slabs > 1:
+            # one tomogram's slab jobs farm over all chips
+            # (multiDepthTomoSegmenter.parallel_segment)
+            vol, voxel_size = runs[0].get_volume()
+            mask = seg.parallel_segment(vol, slab_thickness, num_slabs,
+                                        delta_z)
+            writer.write(runs[0].name, np.asarray(vol, np.float32),
+                         mask.astype(np.uint8), pixel_size=voxel_size)
+            if gallery:
+                convert_zarr_to_gallery(output)
+            return None
+        segment_tomogram_core(runs[0], seg, writer,
                               slab_thickness, num_slabs, delta_z,
-                              target_class, display_segmentation=True,
+                              target_class, display_segmentation=display,
                               segmentation_session_id=session_id,
                               text_prompt=text_prompt)
         return None
@@ -116,6 +129,9 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
 @click.option("--text-prompt", default=None,
               help="text concept → SAM3 backend (reference "
                    "run_tomogram_segment.py:36-41)")
+@click.option("--parallel-slabs", is_flag=True,
+              help="farm one tomogram's slab jobs over all chips "
+                   "(single-run, num_slabs > 1)")
 def tomograms(**kwargs):
     """Zero-shot / classifier-filtered 3D segmentation of tomograms."""
     run_tomo_seg(**kwargs)

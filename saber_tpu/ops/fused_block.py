@@ -68,21 +68,29 @@ def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                   preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(dt)   # (w·W, 3C)
 
-    # window partition in VMEM: (w, W, 3C) → (nwx, T, 3C)
+    # window partition in VMEM: (w, W, 3C) → (nwx·heads, T, 3·hd)
+    # (windows and heads fold into ONE batch axis — Mosaic's tpu.matmul
+    # supports at most one batch dim)
     qkv = qkv.reshape(w, nwx, window, 3 * c)
     qkv = qkv.transpose(1, 0, 2, 3).reshape(nwx, t, 3 * c)
-    q = qkv[..., :c].reshape(nwx, t, num_heads, hd)
-    k = qkv[..., c:2 * c].reshape(nwx, t, num_heads, hd)
-    v = qkv[..., 2 * c:].reshape(nwx, t, num_heads, hd)
+
+    def heads_first(a):  # (nwx, T, C) → (nwx·heads, T, hd)
+        return (a.reshape(nwx, t, num_heads, hd)
+                .transpose(0, 2, 1, 3).reshape(nwx * num_heads, t, hd))
+
+    q = heads_first(qkv[..., :c])
+    k = heads_first(qkv[..., c:2 * c])
+    v = heads_first(qkv[..., 2 * c:])
 
     scale = hd ** -0.5
-    logits = jnp.einsum("nthd,nshd->nhts", q, k,
+    logits = jnp.einsum("btd,bsd->bts", q, k,
                         preferred_element_type=jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-    attn = jnp.einsum("nhts,nshd->nthd", probs, v,
+    attn = jnp.einsum("bts,bsd->btd", probs, v,
                       preferred_element_type=jnp.float32).astype(dt)
 
-    # unpartition: (nwx, T, C) → (w·W, C)
+    # unpartition: (nwx·heads, T, hd) → (w·W, C)
+    attn = attn.reshape(nwx, num_heads, t, hd).transpose(0, 2, 1, 3)
     attn = attn.reshape(nwx, window, window, c)
     attn = attn.transpose(1, 0, 2, 3).reshape(w * wd, c)
     out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
