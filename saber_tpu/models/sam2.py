@@ -271,19 +271,53 @@ class SAM2(nn.Module):
         return masks, iou, obj_logits
 
 
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic-convolution kernel with torch's A=-0.75 (F.interpolate
+    bicubic). jax.image.resize uses Keys a=-0.5, which diverges from the
+    official SAM2 pos-embed interpolation enough to matter for parity."""
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1, ((a + 2) * ax - (a + 3)) * ax * ax + 1,
+        np.where(ax < 2, (((ax - 5) * ax + 8) * ax - 4) * a, 0.0))
+
+
+def bicubic_resize_torch(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(H, W, C) → (out_h, out_w, C), matching torch F.interpolate
+    (mode='bicubic', align_corners=False): half-pixel centers, A=-0.75,
+    clamped borders."""
+    def resize_axis(arr, out_len, axis):
+        in_len = arr.shape[axis]
+        if in_len == out_len:
+            return arr
+        scale = in_len / out_len
+        coords = (np.arange(out_len) + 0.5) * scale - 0.5
+        base = np.floor(coords).astype(np.int64)
+        taps = base[:, None] + np.arange(-1, 3)[None]          # (out, 4)
+        w = _cubic_kernel(taps - coords[:, None])              # (out, 4)
+        taps = np.clip(taps, 0, in_len - 1)
+        moved = np.moveaxis(np.asarray(arr, np.float64), axis, 0)
+        out = np.einsum("of,of...->o...", w, moved[taps])
+        return np.moveaxis(out, 0, axis)
+
+    return resize_axis(resize_axis(img, out_h, 0), out_w, 1).astype(
+        np.asarray(img).dtype)
+
+
 def bake_pos_embed(params, config: SAM2Config):
     """Pre-interpolate the Hiera background pos embedding to the /4 grid.
 
-    The bicubic resize otherwise re-runs inside every encoder call. The
-    baked params remain correct for this image_size only; Hiera skips the
-    resize when shapes already match.
+    The resize otherwise re-runs inside every encoder call, and the baked
+    (host numpy) path reproduces torch's bicubic exactly — the official
+    Hiera interpolates with F.interpolate(mode='bicubic') at every
+    forward. The baked params remain correct for this image_size only;
+    Hiera skips the resize when shapes already match.
     """
     trunk = dict(params["trunk"])
-    bkg = jnp.asarray(trunk["pos_embed"])
+    bkg = np.asarray(trunk["pos_embed"])
     side = config.image_size // 4
     if bkg.shape[1:3] != (side, side):
-        trunk["pos_embed"] = jax.image.resize(
-            bkg, (1, side, side, bkg.shape[-1]), method="bicubic")
+        trunk["pos_embed"] = jnp.asarray(
+            bicubic_resize_torch(bkg[0], side, side)[None])
     out = dict(params)
     out["trunk"] = trunk
     return out

@@ -534,3 +534,335 @@ def test_upscaler_conv_transpose_golden(synth):
     out = conv.apply({"params": fparams},
                      jnp.asarray(x.transpose(0, 2, 3, 1)))
     assert _delta(ref.transpose(0, 2, 3, 1), out) < TOL
+
+
+# ---------------------------------------------------------------------------
+# full image-pipeline golden: Hiera trunk + FPN neck + prompt encoder +
+# decoder composed, vs SAM2.encode_image → SAM2.decode
+# ---------------------------------------------------------------------------
+
+
+def test_bicubic_matches_torch_interpolate():
+    """bake_pos_embed's host bicubic == F.interpolate(mode='bicubic')."""
+    from saber_tpu.models.sam2 import bicubic_resize_torch
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((7, 7, 5)).astype(np.float32)
+    with torch.no_grad():
+        ref = F.interpolate(torch.from_numpy(img.transpose(2, 0, 1))[None],
+                            size=(16, 16), mode="bicubic",
+                            align_corners=False)[0].numpy().transpose(1, 2, 0)
+    out = bicubic_resize_torch(img, 16, 16)
+    assert _delta(ref, out) < 1e-5
+
+
+class TorchPromptEncoder(tnn.Module):
+    """Official PromptEncoder semantics (points + dense mask paths)."""
+
+    def __init__(self, dim=256, image_size=64, feat=4):
+        super().__init__()
+        self.dim, self.image_size, self.feat = dim, image_size, feat
+        self.pe = tnn.Parameter(torch.zeros(2, dim // 2))
+        self.point_embeddings = tnn.ModuleList(
+            [tnn.Embedding(1, dim) for _ in range(4)])
+        self.not_a_point_embed = tnn.Embedding(1, dim)
+        self.no_mask_embed = tnn.Embedding(1, dim)
+        self.mask_downscaling = tnn.Sequential(
+            tnn.Conv2d(1, 4, 2, 2), tnn.LayerNorm(4, eps=1e-6), tnn.GELU(),
+            tnn.Conv2d(4, 16, 2, 2), tnn.LayerNorm(16, eps=1e-6), tnn.GELU(),
+            tnn.Conv2d(16, dim, 1))
+
+    def load_from(self, tsd):
+        self.pe.data = tsd[
+            "sam_prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]
+        for i in range(4):
+            self.point_embeddings[i].weight.data = tsd[
+                f"sam_prompt_encoder.point_embeddings.{i}.weight"]
+        self.not_a_point_embed.weight.data = tsd[
+            "sam_prompt_encoder.not_a_point_embed.weight"]
+        self.no_mask_embed.weight.data = tsd[
+            "sam_prompt_encoder.no_mask_embed.weight"]
+        for dst, src in ((0, 0), (3, 3), (6, 6)):
+            self.mask_downscaling[dst].weight.data = tsd[
+                f"sam_prompt_encoder.mask_downscaling.{src}.weight"]
+            self.mask_downscaling[dst].bias.data = tsd[
+                f"sam_prompt_encoder.mask_downscaling.{src}.bias"]
+        for dst in (1, 4):
+            self.mask_downscaling[dst].weight.data = tsd[
+                f"sam_prompt_encoder.mask_downscaling.{dst}.weight"]
+            self.mask_downscaling[dst].bias.data = tsd[
+                f"sam_prompt_encoder.mask_downscaling.{dst}.bias"]
+
+    def _pe_encode(self, coords):
+        coords = 2 * coords - 1
+        coords = coords @ self.pe
+        coords = 2 * np.pi * coords
+        return torch.cat([torch.sin(coords), torch.cos(coords)], -1)
+
+    def embed_points(self, points, labels):
+        coords = (points + 0.5) / torch.tensor(
+            [self.image_size, self.image_size], dtype=torch.float32)
+        pe = self._pe_encode(coords)
+        out = torch.where(labels[..., None] == -1,
+                          self.not_a_point_embed.weight[0], pe)
+        for i in range(4):
+            out = out + torch.where(labels[..., None] == i,
+                                    self.point_embeddings[i].weight[0],
+                                    torch.zeros(()))
+        return out
+
+    def dense_pe(self):
+        ys = (torch.arange(self.feat).float() + 0.5) / self.feat
+        xs = (torch.arange(self.feat).float() + 0.5) / self.feat
+        gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+        grid = torch.stack([gx, gy], -1)
+        return self._pe_encode(grid)                 # (H, W, C)
+
+    def embed_mask(self, mask):  # (B, 1, 4H, 4W)
+        x = mask
+        for m in self.mask_downscaling:
+            if isinstance(m, tnn.LayerNorm):
+                x = m(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+            else:
+                x = m(x)
+        return x
+
+
+def test_prompt_encoder_golden(synth):
+    sd, tsd, params = synth
+    from saber_tpu.models.prompt_encoder import PromptEncoder
+    tpe = TorchPromptEncoder(256, 64, 4)
+    tpe.load_from(tsd)
+    fpe = PromptEncoder(image_embedding_size=(4, 4),
+                        input_image_size=(64, 64))
+    rng = np.random.default_rng(4)
+    pts = (rng.random((2, 3, 2)) * 64).astype(np.float32)
+    lbl = np.asarray([[1, 0, -1], [2, 3, 1]], np.int32)
+    with torch.no_grad():
+        t_sparse = tpe.embed_points(torch.from_numpy(pts),
+                                    torch.from_numpy(lbl))
+        t_pe = tpe.dense_pe()
+        mask = rng.standard_normal((2, 1, 16, 16)).astype(np.float32)
+        t_dense = tpe.embed_mask(torch.from_numpy(mask))
+    f_sparse, f_dense = fpe.apply(
+        {"params": params["sam_prompt_encoder"]}, jnp.asarray(pts),
+        jnp.asarray(lbl), jnp.asarray(mask.transpose(0, 2, 3, 1)))
+    f_pe = fpe.apply({"params": params["sam_prompt_encoder"]},
+                     method=PromptEncoder.get_dense_pe)
+    assert _delta(t_sparse.numpy(), f_sparse) < TOL
+    assert _delta(t_pe.numpy(), f_pe) < TOL
+    assert _delta(t_dense.numpy().transpose(0, 2, 3, 1), f_dense) < TOL
+
+
+class TorchMemoryEncoder(tnn.Module):
+    """Official MemoryEncoder (skip_mask_sigmoid=True path)."""
+
+    def __init__(self, dim=256, out_dim=64):
+        super().__init__()
+        enc = []
+        ch = 1
+        for _ in range(4):
+            enc += [tnn.Conv2d(ch, ch * 4, 3, 2, 1), tnn.LayerNorm(ch * 4),
+                    tnn.GELU()]
+            ch *= 4
+        enc.append(tnn.Conv2d(ch, dim, 1))
+        self.encoder = tnn.Sequential(*enc)
+        self.pix_feat_proj = tnn.Conv2d(dim, dim, 1)
+        self.fusers = tnn.ModuleList()
+        for _ in range(2):
+            blk = tnn.ModuleDict({
+                "dwconv": tnn.Conv2d(dim, dim, 7, padding=3, groups=dim),
+                "norm": tnn.LayerNorm(dim, eps=1e-6),
+                "pwconv1": tnn.Linear(dim, 4 * dim),
+                "pwconv2": tnn.Linear(4 * dim, dim)})
+            blk.gamma = tnn.Parameter(torch.ones(dim) * 1e-6)
+            self.fusers.append(blk)
+        self.out_proj = tnn.Conv2d(dim, out_dim, 1)
+
+    def load_from(self, tsd):
+        for li, seq in enumerate((0, 3, 6, 9)):
+            self.encoder[seq].weight.data = tsd[
+                f"memory_encoder.mask_downsampler.encoder.{seq}.weight"]
+            self.encoder[seq].bias.data = tsd[
+                f"memory_encoder.mask_downsampler.encoder.{seq}.bias"]
+            self.encoder[seq + 1].weight.data = tsd[
+                f"memory_encoder.mask_downsampler.encoder.{seq + 1}.weight"]
+            self.encoder[seq + 1].bias.data = tsd[
+                f"memory_encoder.mask_downsampler.encoder.{seq + 1}.bias"]
+        self.encoder[12].weight.data = tsd[
+            "memory_encoder.mask_downsampler.encoder.12.weight"]
+        self.encoder[12].bias.data = tsd[
+            "memory_encoder.mask_downsampler.encoder.12.bias"]
+        self.pix_feat_proj.weight.data = tsd["memory_encoder.pix_feat_proj.weight"]
+        self.pix_feat_proj.bias.data = tsd["memory_encoder.pix_feat_proj.bias"]
+        for i, blk in enumerate(self.fusers):
+            fb = f"memory_encoder.fuser.layers.{i}"
+            blk["dwconv"].weight.data = tsd[f"{fb}.dwconv.weight"]
+            blk["dwconv"].bias.data = tsd[f"{fb}.dwconv.bias"]
+            blk["norm"].weight.data = tsd[f"{fb}.norm.weight"]
+            blk["norm"].bias.data = tsd[f"{fb}.norm.bias"]
+            blk["pwconv1"].weight.data = tsd[f"{fb}.pwconv1.weight"]
+            blk["pwconv1"].bias.data = tsd[f"{fb}.pwconv1.bias"]
+            blk["pwconv2"].weight.data = tsd[f"{fb}.pwconv2.weight"]
+            blk["pwconv2"].bias.data = tsd[f"{fb}.pwconv2.bias"]
+            blk.gamma.data = tsd[f"{fb}.gamma"]
+        self.out_proj.weight.data = tsd["memory_encoder.out_proj.weight"]
+        self.out_proj.bias.data = tsd["memory_encoder.out_proj.bias"]
+
+    def forward(self, pix_feat, masks):  # NCHW, masks pre-scaled
+        x = masks
+        for m in self.encoder:
+            if isinstance(m, tnn.LayerNorm):
+                x = m(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+            else:
+                x = m(x)
+        x = self.pix_feat_proj(pix_feat) + x
+        for blk in self.fusers:
+            inp = x
+            x = blk["dwconv"](x).permute(0, 2, 3, 1)
+            x = blk["norm"](x)
+            x = blk["pwconv1"](x)
+            x = F.gelu(x)
+            x = blk["pwconv2"](x)
+            x = inp + (blk.gamma * x).permute(0, 3, 1, 2)
+        return self.out_proj(x)
+
+
+def test_memory_encoder_golden(synth):
+    sd, tsd, params = synth
+    from saber_tpu.models.memory import MemoryEncoder
+    tme = TorchMemoryEncoder()
+    tme.load_from(tsd)
+    rng = np.random.default_rng(5)
+    pix = rng.standard_normal((1, 256, 4, 4)).astype(np.float32)
+    masks = (rng.standard_normal((1, 1, 64, 64)) * 10).astype(np.float32)
+    with torch.no_grad():
+        ref = tme(torch.from_numpy(pix), torch.from_numpy(masks)).numpy()
+    fme = MemoryEncoder()
+    out = fme.apply({"params": params["memory_encoder"]},
+                    jnp.asarray(pix.transpose(0, 2, 3, 1)),
+                    jnp.asarray(masks.transpose(0, 2, 3, 1)))
+    assert _delta(ref.transpose(0, 2, 3, 1), out) < TOL
+
+
+class TorchHieraNeck(tnn.Module):
+    """Official Hiera trunk + FpnNeck (tiny config, image 64)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        e = cfg.embed_dim
+        self.patch = tnn.Conv2d(3, e, 7, 4, 3)
+        stage_ends = [sum(cfg.stages[:i]) - 1
+                      for i in range(1, len(cfg.stages) + 1)]
+        q_pool_blocks = [x + 1 for x in stage_ends[:3]]
+        self.stage_ends = stage_ends
+        blocks = []
+        dim, heads, cur = e, cfg.num_heads, 1
+        for i in range(sum(cfg.stages)):
+            dim_out = dim
+            window = cfg.window_spec[cur - 1]
+            if i in cfg.global_att_blocks:
+                window = 0
+            if i - 1 in stage_ends:
+                dim_out, heads, cur = dim * 2, heads * 2, cur + 1
+            blocks.append(TorchMultiScaleBlock(
+                dim, dim_out, heads, window,
+                (2, 2) if i in q_pool_blocks else None))
+            dim = dim_out
+        self.blocks = tnn.ModuleList(blocks)
+        self.neck_convs = tnn.ModuleList(
+            [tnn.Conv2d(c, 256, 1)
+             for c in list(cfg.backbone_channel_list)[::-1]])
+
+    def load_from(self, tsd):
+        self.patch.weight.data = tsd["image_encoder.trunk.patch_embed.proj.weight"]
+        self.patch.bias.data = tsd["image_encoder.trunk.patch_embed.proj.bias"]
+        self.pos_embed = tsd["image_encoder.trunk.pos_embed"]
+        self.pos_embed_window = tsd["image_encoder.trunk.pos_embed_window"]
+        for i, blk in enumerate(self.blocks):
+            blk.load_state_dict(_sub_sd(tsd, f"image_encoder.trunk.blocks.{i}."))
+        for j, conv in enumerate(self.neck_convs):
+            conv.weight.data = tsd[f"image_encoder.neck.convs.{j}.conv.weight"]
+            conv.bias.data = tsd[f"image_encoder.neck.convs.{j}.conv.bias"]
+
+    def forward(self, x):  # (B, H, W, 3) NHWC like the flax trunk
+        x = self.patch(x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+        h, w = x.shape[1], x.shape[2]
+        pos = F.interpolate(self.pos_embed, size=(h, w), mode="bicubic",
+                            align_corners=False)
+        win = self.pos_embed_window
+        pos = pos + win.tile([a // b for a, b in zip(pos.shape, win.shape)])
+        x = x + pos.permute(0, 2, 3, 1)
+        outs = []
+        for i, blk in enumerate(self.blocks):
+            x = blk(x)
+            if i in self.stage_ends:
+                outs.append(x)
+        # FPN neck, top-down (official FpnNeck semantics)
+        n = len(outs)
+        feats = [None] * n
+        prev = None
+        for i in range(n - 1, -1, -1):
+            lateral = self.neck_convs[n - 1 - i](
+                outs[i].permute(0, 3, 1, 2))
+            if i in (2, 3) and prev is not None:
+                prev = lateral + F.interpolate(prev.float(), scale_factor=2.0,
+                                               mode="nearest")
+            else:
+                prev = lateral
+            feats[i] = prev
+        return [f.permute(0, 2, 3, 1) for f in feats[:-1]]   # scalp=1
+
+
+def test_full_image_pipeline_golden(synth):
+    """encode_image → decode vs the composed torch modules: the BASELINE
+    IoU≥0.99 gate at integration level (synthetic weights, image 64²)."""
+    sd, tsd, params = synth
+    from saber_tpu.models.sam2 import bake_pos_embed
+    cfg = get_config("tiny", image_size=64)
+    model = SAM2(cfg)
+    params = bake_pos_embed(params, cfg)
+
+    tnet = TorchHieraNeck(cfg)
+    tnet.load_from(tsd)
+    tdec = TorchMaskDecoder(256)
+    tdec.load_state_dict(_sub_sd(tsd, "sam_mask_decoder."))
+    tpe = TorchPromptEncoder(256, 64, cfg.feat_size)
+    tpe.load_from(tsd)
+
+    rng = np.random.default_rng(6)
+    img = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    pts = np.asarray([[[32.0, 30.0], [0.0, 0.0]]], np.float32)
+    lbl = np.asarray([[1, -1]], np.int32)
+
+    with torch.no_grad():
+        feats = tnet(torch.from_numpy(img))
+        embed = feats[-1] + torch.from_numpy(np.asarray(
+            params["no_mem_embed"]))[0].reshape(1, 1, 1, -1)
+        sparse = tpe.embed_points(torch.from_numpy(pts),
+                                  torch.from_numpy(lbl))
+        dense = tpe.no_mask_embed.weight[0].reshape(1, 1, 1, -1).expand(
+            1, cfg.feat_size, cfg.feat_size, 256)
+        pe = tpe.dense_pe().permute(2, 0, 1)[None]
+        nchw = lambda t: t.permute(0, 3, 1, 2).contiguous()
+        t_masks, t_iou, t_obj = tdec(
+            nchw(embed), pe, sparse, nchw(dense),
+            (nchw(feats[0]), nchw(feats[1])),
+            multimask_output=True, dynamic=False)
+
+    backbone = model.apply({"params": params}, jnp.asarray(img),
+                           method=SAM2.encode_image)
+    f_masks, f_iou, _, f_obj = model.apply(
+        {"params": params}, backbone, jnp.asarray(pts), jnp.asarray(lbl),
+        method=SAM2.decode)
+
+    scale = float(np.abs(t_masks.numpy()).max()) + 1.0
+    assert _delta(t_masks.numpy(), f_masks) / scale < REL_TOL * 4
+    assert _delta(t_iou.numpy(), f_iou) < 1e-3
+    assert _delta(t_obj.numpy(), f_obj) < 1e-3
+    # the gate itself: identical binarized masks → IoU 1.0 ≥ 0.99
+    tm = t_masks.numpy() > 0
+    fm = np.asarray(f_masks) > 0
+    inter = (tm & fm).sum()
+    union = (tm | fm).sum()
+    assert union == 0 or inter / union >= 0.99
