@@ -51,6 +51,8 @@ _paint_slab = jax.jit(_paint_slab, static_argnames=("out_h", "out_w"))
 class SAM2Adapter(BaseAdapter):
     """Native JAX implementation of the reference SAM2Adapter."""
 
+    mesh = None  # class default: subclasses with their own __init__ inherit it
+
     def __init__(self, config: SAM2AdapterConfig, device: str = "tpu",
                  encode_chunk: int = 8):
         if config.num_maskmem > 7:
