@@ -367,6 +367,124 @@ class SAM2Adapter(BaseAdapter):
 
         return vol_masks.astype(np.uint16)
 
+    def segment_volume_multi_seed(self, seeds_by_frame, vol_shape=None,
+                                  max_frame_num_to_track=None,
+                                  min_presence_score: float = 0.5,
+                                  inference_state=None,
+                                  capacity_multiple: int = 8) -> np.ndarray:
+        """Propagate objects seeded at MANY frames in one batched scan.
+
+        ``seeds_by_frame``: {frame_idx: [mask, ...]}. Where the reference
+        re-runs its entire per-seed propagation loop (encoder included)
+        once per seed slice (saber/segmenters/propagation.py:92-118), this
+        encodes each z-slice exactly once and tracks every seed's objects
+        together as one batch axis — objects activate when the scan
+        reaches their conditioning frame (models/video.py per-object
+        cond_frame). Object slots pad to a multiple of
+        ``capacity_multiple`` to bound recompiles.
+
+        Returns (Z, H, W) uint16 where voxel label k means "object k"
+        in flat enumeration order of ``seeds_by_frame`` items (sorted by
+        frame, then mask order) — the same max-merge the caller would do
+        over per-seed label volumes collapses to one paint here.
+        """
+        state = inference_state or self.inference_state
+        if state is None:
+            raise RuntimeError("Call set_volume() before segment_volume().")
+        if vol_shape is None:
+            vol_shape = self._vol_shape
+        z, h, w = vol_shape
+
+        objs = []                                  # (seed_frame, model mask)
+        for fidx in sorted(seeds_by_frame):
+            for m in self._normalize_masks(seeds_by_frame[fidx]):
+                if np.max(m) > 0:
+                    objs.append((int(fidx), self._to_model_frame(m)))
+        if not objs:
+            return np.zeros((z, h, w), np.uint16)
+        n_obj = len(objs)
+        cap = ((n_obj + capacity_multiple - 1)
+               // capacity_multiple) * capacity_multiple
+
+        size = self.model.config.image_size
+        seed_frames = sorted({f for f, _ in objs})
+        frame_slot = {f: i for i, f in enumerate(seed_frames)}
+
+        # encode the unique seed frames (chunked), gather per object slot
+        bbs = []
+        for s0 in range(0, len(seed_frames), self.encode_chunk):
+            imgs = self._frames_for(state, seed_frames[s0:s0 + self.encode_chunk])
+            bbs.append(self.core.encode_batch(self.params, imgs))
+        bb_u = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim == 4 else xs[0],
+            *bbs)
+        slot_of_obj = np.zeros((cap,), np.int32)
+        masks_arr = np.zeros((cap, size, size), np.float32)
+        cond_arr = np.zeros((cap,), np.int32)
+        valid_arr = np.zeros((cap,), bool)
+        for k, (f, m) in enumerate(objs):
+            slot_of_obj[k] = frame_slot[f]
+            masks_arr[k] = m
+            cond_arr[k] = f
+            valid_arr[k] = True
+        bb_obj = jax.tree.map(
+            lambda x: x[jnp.asarray(slot_of_obj)] if x.ndim == 4 else x, bb_u)
+
+        pstate = init_state(cap, self.core.cfg)
+        pstate, seed_logits = self.core.seed(
+            self.params, bb_obj, jnp.asarray(masks_arr),
+            jnp.asarray(cond_arr), pstate, jnp.asarray(valid_arr))
+
+        span = (jnp.asarray(max_frame_num_to_track, jnp.int32)
+                if max_frame_num_to_track is not None else None)
+        lo_seed, hi_seed = seed_frames[0], seed_frames[-1]
+        vol_masks = np.zeros((z, h, w), np.uint16)
+        frame_scores = np.full((z, cap), -20.0, np.float32)
+
+        for reverse in (False, True):
+            if reverse:
+                order = np.arange(hi_seed - 1, -1, -1)
+                sign = -1.0
+            else:
+                order = np.arange(lo_seed + 1, z)
+                sign = 1.0
+            ps = pstate
+            for s0 in range(0, len(order), self.encode_chunk):
+                idxs = order[s0:s0 + self.encode_chunk]
+                frames = self._encode_frames_at(state, idxs)
+                ps, (low, scores) = self.core.propagate_slab(
+                    self.params, ps, frames, jnp.asarray(idxs),
+                    jnp.asarray(sign), span)
+                painted = np.asarray(_paint_slab(low, h, w))
+                # objects active in this direction overwrite; both
+                # directions are disjoint per object, so max-merge is exact
+                np.maximum.at(vol_masks, idxs, painted.astype(np.uint16))
+                np.maximum.at(frame_scores, idxs,
+                              np.asarray(scores)[:, :, 0])
+
+        # seed frames emit their own masks (the scan skips rel == 0)
+        seed_painted = np.asarray(_paint_slab(seed_logits[None], h, w))[0]
+        for f in seed_frames:
+            at_f = np.isin(
+                seed_painted,
+                [k + 1 for k in range(n_obj) if objs[k][0] == f]
+            ) * seed_painted
+            np.maximum(vol_masks[f], at_f.astype(np.uint16),
+                       out=vol_masks[f])
+            frame_scores[f, [k for k in range(n_obj) if objs[k][0] == f]] = 10.0
+
+        self.frame_metrics = {}
+        boundaries = self._presence_scores(frame_scores[:, :n_obj])
+        for fidx in range(z):
+            self.frame_metrics[fidx] = {}
+            for k in range(n_obj):
+                score = float(boundaries[fidx, k])
+                self.frame_metrics[fidx][k + 1] = {"presence_score": score}
+                if score < min_presence_score:
+                    vol_masks[fidx][vol_masks[fidx] == k + 1] = 0
+
+        return vol_masks.astype(np.uint16)
+
     def _presence_scores(self, frame_scores: np.ndarray) -> np.ndarray:
         """(Z, n_obj) raw object-score logits → per-frame presence in [0,1].
 

@@ -23,6 +23,7 @@ def run_fib_segment(input: str, output: str = "fib_masks.npy",
                     min_mask_area: int = 100, save_movie: bool = True,
                     image_size: int = 1024,
                     amg_cfg=None, parallel_seeds: bool = False,
+                    batched_seeds: bool = False,
                     num_devices=None, text_prompt: Optional[str] = None):
     vol = read_movie(input, target_resolution, input_resolution)
 
@@ -50,6 +51,11 @@ def run_fib_segment(input: str, output: str = "fib_masks.npy",
                                      target_class=target_class,
                                      text_prompt=text_prompt,
                                      num_devices=num_devices)
+    elif batched_seeds:
+        masks = seg.batched_segment(vol, ini_depth=ini_depth,
+                                    nframes=nframes,
+                                    target_class=target_class,
+                                    text_prompt=text_prompt)
     else:
         masks = seg.segment(vol, ini_depth=ini_depth, nframes=nframes,
                             target_class=target_class,
@@ -78,6 +84,9 @@ def run_fib_segment(input: str, output: str = "fib_masks.npy",
 @click.option("--min-mask-area", default=100, show_default=True)
 @click.option("--parallel-seeds", is_flag=True,
               help="farm seed propagations over all chips")
+@click.option("--batched-seeds", is_flag=True,
+              help="batch all seeds into one propagation scan "
+                   "(encode each slice once)")
 @click.option("--num-devices", type=int, default=None)
 @click.option("--text-prompt", default=None,
               help="text concept → SAM3 backend")

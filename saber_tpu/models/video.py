@@ -44,31 +44,42 @@ def _M(model):
 
 @struct.dataclass
 class PropagationState:
-    """Fixed-capacity memory bank carried through the propagation scan."""
+    """Fixed-capacity memory bank carried through the propagation scan.
+
+    All frame bookkeeping is PER OBJECT so that objects seeded at
+    *different* frames can share one scan (multi-seed batching — the
+    reference re-runs its whole propagation loop per seed slice,
+    saber/segmenters/propagation.py:92-118; here every seed's objects
+    ride the same ``lax.scan`` and activate when the scan reaches their
+    conditioning frame)."""
     # ring of recent non-conditioning memories, slot 0 = newest
     mem_feats: jnp.ndarray    # (R, B, T, mem_dim)
-    mem_frames: jnp.ndarray   # (R,) int32 frame index, -1 = empty
+    mem_frames: jnp.ndarray   # (R, B) int32 frame index, -1 = empty
     # conditioning (seed) frame
     cond_feats: jnp.ndarray   # (B, T, mem_dim)
-    cond_frame: jnp.ndarray   # () int32
+    cond_frame: jnp.ndarray   # (B,) int32
     cond_ptr: jnp.ndarray     # (B, d_model)
     # object-pointer ring (most recent first)
     ptr: jnp.ndarray          # (P, B, d_model)
-    ptr_frames: jnp.ndarray   # (P,) int32, -1 = empty
+    ptr_frames: jnp.ndarray   # (P, B) int32, -1 = empty
+    # object-slot validity (False = padding slot, never tracks)
+    obj_valid: jnp.ndarray    # (B,) bool
 
 
 def init_state(num_objects: int, cfg) -> PropagationState:
     r = max(cfg.num_maskmem - 1, 0)
     t = cfg.feat_size * cfg.feat_size
     p = cfg.max_obj_ptrs_in_encoder - 1
+    b = num_objects
     return PropagationState(
-        mem_feats=jnp.zeros((r, num_objects, t, cfg.mem_dim), jnp.float32),
-        mem_frames=-jnp.ones((r,), jnp.int32),
-        cond_feats=jnp.zeros((num_objects, t, cfg.mem_dim), jnp.float32),
-        cond_frame=jnp.asarray(-1, jnp.int32),
-        cond_ptr=jnp.zeros((num_objects, cfg.d_model), jnp.float32),
-        ptr=jnp.zeros((p, num_objects, cfg.d_model), jnp.float32),
-        ptr_frames=-jnp.ones((p,), jnp.int32),
+        mem_feats=jnp.zeros((r, b, t, cfg.mem_dim), jnp.float32),
+        mem_frames=-jnp.ones((r, b), jnp.int32),
+        cond_feats=jnp.zeros((b, t, cfg.mem_dim), jnp.float32),
+        cond_frame=-jnp.ones((b,), jnp.int32),
+        cond_ptr=jnp.zeros((b, cfg.d_model), jnp.float32),
+        ptr=jnp.zeros((p, b, cfg.d_model), jnp.float32),
+        ptr_frames=-jnp.ones((p, b), jnp.int32),
+        obj_valid=jnp.ones((b,), bool),
     )
 
 
@@ -91,12 +102,17 @@ class VideoCore:
 
     @partial(jax.jit, static_argnums=0)
     def seed(self, params, backbone_frame, masks: jnp.ndarray,
-             frame_idx: jnp.ndarray, state: PropagationState
+             frame_idx: jnp.ndarray, state: PropagationState,
+             valid: Optional[jnp.ndarray] = None
              ) -> Tuple[PropagationState, jnp.ndarray]:
-        """Seed B object masks at one frame (torch add_new_mask analog).
+        """Seed B object masks (torch add_new_mask analog).
 
-        backbone_frame: single-frame backbone (batch 1); masks: (B, S, S)
-        float/bool at model resolution. Returns (state, low_res_logits).
+        backbone_frame: backbone with leading batch 1 (one shared seed
+        frame, broadcast) or B (per-object seed frames — multi-seed
+        batching); masks: (B, S, S) float/bool at model resolution;
+        frame_idx: scalar or (B,) per-object conditioning frame; valid:
+        optional (B,) bool marking real (vs padding) object slots.
+        Returns (state, low_res_logits).
         """
         cfg = self.cfg
         b = masks.shape[0]
@@ -124,8 +140,11 @@ class VideoCore:
                                jnp.full((b, 1), 10.0), method=_M(self.model).encode_memory)
         state = state.replace(
             cond_feats=mem.astype(jnp.float32),
-            cond_frame=frame_idx.astype(jnp.int32),
-            cond_ptr=obj_ptr.astype(jnp.float32))
+            cond_frame=jnp.broadcast_to(
+                jnp.asarray(frame_idx, jnp.int32), (b,)),
+            cond_ptr=obj_ptr.astype(jnp.float32),
+            obj_valid=(jnp.ones((b,), bool) if valid is None
+                       else valid.astype(bool)))
         return state, low_logits
 
     # -- one tracking step ----------------------------------------------
@@ -152,26 +171,27 @@ class VideoCore:
             # most-recent frame (t_rel=1) -> index 0, cond frame -> n-1,
             # so ring slot j (recency j+1) takes tpos[j].
             pos.append(jnp.broadcast_to(spatial_pos + tpos[j], (b, t, md)))
-            invalid = state.mem_frames[j] < 0
-            bias.append(jnp.where(invalid, -1e9, 0.0)
-                        * jnp.ones((b, 1, 1, t), jnp.float32))
+            invalid = state.mem_frames[j] < 0                   # (B,)
+            bias.append(jnp.broadcast_to(
+                jnp.where(invalid, -1e9, 0.0)[:, None, None, None],
+                (b, 1, 1, t)).astype(jnp.float32))
 
         # object pointers: cond pointer + ring, each split into 256/64 tokens
         split = cfg.d_model // md
         ptr_all = jnp.concatenate([state.cond_ptr[None], state.ptr], axis=0)  # (P+1,B,256)
         ptr_frames = jnp.concatenate(
-            [state.cond_frame[None], state.ptr_frames], axis=0)
+            [state.cond_frame[None], state.ptr_frames], axis=0)  # (P+1, B)
         p1 = ptr_all.shape[0]
         tdiff = (frame_idx - ptr_frames).astype(jnp.float32) * tpos_sign
         ptr_pos = model.apply({"params": params}, tdiff,
-                              method=_M(self.model).obj_ptr_tpos)        # (P+1, md)
+                              method=_M(self.model).obj_ptr_tpos)     # (P+1, B, md)
         ptr_tokens = ptr_all.transpose(1, 0, 2).reshape(b, p1 * split, md)
-        ptr_pos_tokens = jnp.repeat(ptr_pos, split, axis=0)[None]  # (1, P1*split, md)
-        ptr_pos_tokens = jnp.broadcast_to(ptr_pos_tokens, (b, p1 * split, md))
-        ptr_invalid = ptr_frames < 0                            # (P+1,)
-        ptr_bias = jnp.where(jnp.repeat(ptr_invalid, split), -1e9, 0.0)
-        ptr_bias = jnp.broadcast_to(ptr_bias[None, None, None, :],
-                                    (b, 1, 1, p1 * split))
+        ptr_pos_tokens = jnp.repeat(ptr_pos.transpose(1, 0, 2), split,
+                                    axis=1)                   # (B, P1*split, md)
+        ptr_invalid = ptr_frames < 0                            # (P+1, B)
+        ptr_bias = jnp.where(jnp.repeat(ptr_invalid.T, split, axis=1),
+                             -1e9, 0.0)                         # (B, P1*split)
+        ptr_bias = ptr_bias[:, None, None, :]
 
         memory = jnp.concatenate(feats + [ptr_tokens], axis=1)
         memory_pos = jnp.concatenate(pos + [ptr_pos_tokens], axis=1)
@@ -188,12 +208,19 @@ class VideoCore:
         }
 
     @partial(jax.jit, static_argnums=0)
-    def step(self, params, state: PropagationState, frame, frame_idx, tpos_sign):
+    def step(self, params, state: PropagationState, frame, frame_idx,
+             tpos_sign, span=None):
         """Track all objects through one frame.
 
         frame: dict(vision (fs,fs,256), fpn0, fpn1) for ONE frame (no batch
         axis). Returns (new_state, (low_res_logits (B,low,low),
         obj_score_logits (B,1))).
+
+        An object is ACTIVE at this frame when it is a valid slot and the
+        frame lies strictly beyond its conditioning frame in the scan
+        direction (and within ``span`` frames of it, if given). Inactive
+        objects neither write memory nor emit masks — this is what lets
+        objects seeded at different frames share one scan.
         """
         from saber_tpu.models.position_encoding import position_embedding_sine
 
@@ -241,19 +268,38 @@ class VideoCore:
         mem = self.model.apply({"params": params}, vision, high, obj_logits,
                                method=_M(self.model).encode_memory)
 
-        # ring updates (newest first)
-        new_mem = jnp.concatenate([mem[None].astype(jnp.float32),
-                                   state.mem_feats[:-1]], axis=0) \
+        # per-object activation: strictly beyond the cond frame in scan
+        # direction, within span, and a real (non-padding) slot
+        rel = (frame_idx - state.cond_frame).astype(jnp.float32) * tpos_sign
+        active = state.obj_valid & (rel >= 1.0)                 # (B,)
+        if span is not None:
+            active = active & (rel <= jnp.asarray(span, jnp.float32))
+
+        def gate(shifted, old):
+            """Ring-shift only for active objects (axis 1 = B)."""
+            amask = active.reshape((1, b) + (1,) * (shifted.ndim - 2))
+            return jnp.where(amask, shifted, old)
+
+        fidx_b = jnp.broadcast_to(frame_idx.astype(jnp.int32), (1, b))
+        new_mem = gate(jnp.concatenate([mem[None].astype(jnp.float32),
+                                        state.mem_feats[:-1]], axis=0),
+                       state.mem_feats) \
             if state.mem_feats.shape[0] > 0 else state.mem_feats
-        new_mem_frames = jnp.concatenate(
-            [frame_idx[None].astype(jnp.int32), state.mem_frames[:-1]]) \
+        new_mem_frames = gate(
+            jnp.concatenate([fidx_b, state.mem_frames[:-1]]),
+            state.mem_frames) \
             if state.mem_frames.shape[0] > 0 else state.mem_frames
-        new_ptr = jnp.concatenate([obj_ptr[None].astype(jnp.float32),
-                                   state.ptr[:-1]], axis=0) \
+        new_ptr = gate(jnp.concatenate([obj_ptr[None].astype(jnp.float32),
+                                        state.ptr[:-1]], axis=0),
+                       state.ptr) \
             if state.ptr.shape[0] > 0 else state.ptr
-        new_ptr_frames = jnp.concatenate(
-            [frame_idx[None].astype(jnp.int32), state.ptr_frames[:-1]]) \
+        new_ptr_frames = gate(
+            jnp.concatenate([fidx_b, state.ptr_frames[:-1]]),
+            state.ptr_frames) \
             if state.ptr_frames.shape[0] > 0 else state.ptr_frames
+
+        low_logits = jnp.where(active[:, None, None], low_logits, -10.0)
+        obj_logits = jnp.where(active[:, None], obj_logits, -20.0)
 
         state = state.replace(mem_feats=new_mem, mem_frames=new_mem_frames,
                               ptr=new_ptr, ptr_frames=new_ptr_frames)
@@ -263,15 +309,16 @@ class VideoCore:
 
     @partial(jax.jit, static_argnums=0)
     def propagate_slab(self, params, state: PropagationState, frames,
-                       frame_indices: jnp.ndarray, tpos_sign):
+                       frame_indices: jnp.ndarray, tpos_sign, span=None):
         """Scan ``step`` over a slab of precomputed frame features.
 
         frames: ``slab_frames`` dict with leading frame axis F.
         frame_indices: (F,) absolute frame indices in scan order.
+        span: optional max tracking distance from each object's cond frame.
         Returns (state, (low_logits (F,B,low,low), obj_scores (F,B,1))).
         """
         def body(st, inp):
             frame, fidx = inp
-            return self.step(params, st, frame, fidx, tpos_sign)
+            return self.step(params, st, frame, fidx, tpos_sign, span)
 
         return jax.lax.scan(body, state, (frames, frame_indices))

@@ -38,6 +38,27 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _erf(x):
+    """Abramowitz–Stegun 7.1.26 rational erf, |error| ≤ 1.5e-7 (Pallas
+    TPU lowering has no erf/erfc primitive)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    pp = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + pp * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """Exact (erf) GELU matching flax nn.gelu(approximate=False) to
+    ~1e-7 — the tanh approximation deviates up to ~3e-3, which would
+    break fused-vs-flax equivalence."""
+    xf = x.astype(jnp.float32)
+    return 0.5 * xf * (1.0 + _erf(xf * 0.7071067811865476))
+
+
 def _ln(x, scale, bias):
     """LayerNormFast semantics: fp32 stats, input-dtype elementwise."""
     xf = x.astype(jnp.float32)
@@ -54,49 +75,102 @@ def _ln(x, scale, bias):
 
 
 def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                 bproj_ref, out_ref, *, window, num_heads):
-    xb = x_ref[0]                               # (w, W, C)
-    w, wd, c = xb.shape
-    nwx = wd // window
-    t = window * window
-    hd = c // num_heads
+                 bproj_ref, out_ref, normed_ref, acc_ref, *,
+                 window, heads_per_group, head_dim, hp):
+    """One program = a (window, g·window) row-band of tokens × one head
+    group. Every tensor stays 2D — (rows, lanes) — because Mosaic only
+    supports reshapes that keep the sublane dim a multiple of its tile:
+    the window partition becomes a block-diagonal MASK over the band's
+    g windows (token p, q interact iff p%blk_w and q%blk_w fall in the
+    same width-``window`` column group), heads live in lane slices
+    pre-padded to ``hp`` (multiple of 128) columns, and head groups
+    stream through the grid's innermost dim with an fp32 accumulator —
+    the same revisit pattern as ``fused_mlp``'s hidden chunks. Padded
+    head lanes are inert: zero q·kᵀ contributions, zero proj rows."""
+    hgrp = pl.program_id(3)
+    nh = pl.num_programs(3)
+    xb = x_ref[0]                               # (w, blk_w, C)
+    w, blk_w, c = xb.shape
+    ta = w * blk_w
+    hg = heads_per_group
     dt = xb.dtype
 
-    tokens = xb.reshape(w * wd, c)
-    normed = _ln(tokens, s_ref[0], b_ref[0])
-    qkv = jnp.dot(normed, wqkv_ref[:],
+    tokens = xb.reshape(ta, c)                  # leading-dim collapse: legal
+
+    @pl.when(hgrp == 0)
+    def _():
+        normed_ref[:] = _ln(tokens, s_ref[0], b_ref[0])
+        acc_ref[:] = (tokens.astype(jnp.float32)
+                      + bproj_ref[0].astype(jnp.float32))
+
+    qkv = jnp.dot(normed_ref[:], wqkv_ref[:],
                   preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(dt)   # (w·W, 3C)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(dt)  # (Ta, 3·hg·hp)
 
-    # window partition in VMEM: (w, W, 3C) → (nwx·heads, T, 3·hd)
-    # (windows and heads fold into ONE batch axis — Mosaic's tpu.matmul
-    # supports at most one batch dim)
-    qkv = qkv.reshape(w, nwx, window, 3 * c)
-    qkv = qkv.transpose(1, 0, 2, 3).reshape(nwx, t, 3 * c)
+    # block-diagonal window mask over the band (token index p = i·blk_w + x)
+    pi = jax.lax.broadcasted_iota(jnp.int32, (ta, ta), 0)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (ta, ta), 1)
+    same = (pi % blk_w) // window == (qi % blk_w) // window
+    win_bias = jnp.where(same, 0.0, -1e9).astype(jnp.float32)
 
-    def heads_first(a):  # (nwx, T, C) → (nwx·heads, T, hd)
-        return (a.reshape(nwx, t, num_heads, hd)
-                .transpose(0, 2, 1, 3).reshape(nwx * num_heads, t, hd))
+    scale = head_dim ** -0.5
+    outs = []
+    for h in range(hg):                          # lane slices, 128-aligned
+        q = qkv[:, h * hp:(h + 1) * hp]
+        k = qkv[:, (hg + h) * hp:(hg + h + 1) * hp]
+        v = qkv[:, (2 * hg + h) * hp:(2 * hg + h + 1) * hp]
+        logits = jax.lax.dot_general(            # q·kᵀ without a transpose
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits * scale + win_bias, axis=-1).astype(dt)
+        outs.append(jnp.dot(probs, v,
+                            preferred_element_type=jnp.float32).astype(dt))
+    attn = jnp.concatenate(outs, axis=-1)        # (Ta, hg·hp)
+    acc_ref[:] += jnp.dot(attn, wproj_ref[:],
+                          preferred_element_type=jnp.float32)
 
-    q = heads_first(qkv[..., :c])
-    k = heads_first(qkv[..., c:2 * c])
-    v = heads_first(qkv[..., 2 * c:])
+    @pl.when(hgrp == nh - 1)
+    def _():
+        out_ref[0] = acc_ref[:].astype(dt).reshape(w, blk_w, c)
 
-    scale = hd ** -0.5
-    logits = jnp.einsum("btd,bsd->bts", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-    attn = jnp.einsum("bts,bsd->btd", probs, v,
-                      preferred_element_type=jnp.float32).astype(dt)
 
-    # unpartition: (nwx·heads, T, hd) → (w·W, C)
-    attn = attn.reshape(nwx, num_heads, t, hd).transpose(0, 2, 1, 3)
-    attn = attn.reshape(nwx, window, window, c)
-    attn = attn.transpose(1, 0, 2, 3).reshape(w * wd, c)
-    out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
-    out = out + bproj_ref[0].astype(jnp.float32)
-    out_ref[0] = (tokens.astype(jnp.float32) + out).astype(dt).reshape(
-        w, wd, c)
+def _pad_heads(w_cols: jnp.ndarray, num_heads: int, hp: int) -> jnp.ndarray:
+    """(…, H·hd) columns → (…, H·hp) zero-padded per head."""
+    hd = w_cols.shape[-1] // num_heads
+    if hd == hp:
+        return w_cols
+    shaped = w_cols.reshape(*w_cols.shape[:-1], num_heads, hd)
+    pad = [(0, 0)] * (shaped.ndim - 1) + [(0, hp - hd)]
+    return jnp.pad(shaped, pad).reshape(*w_cols.shape[:-1], num_heads * hp)
+
+
+def _pick_attn_blocks(nwx: int, t: int, c: int, num_heads: int, hp: int,
+                      xbytes: int, budget: int = 12 * 2**20):
+    """Largest (windows per band g, heads per group hg) fitting VMEM.
+
+    Bands of ~256 tokens keep the masked-logits waste small while filling
+    MXU rows; head groups stream the padded qkv/proj weights (hiera-L
+    stage 4's padded qkv alone is 14 MB) through the innermost grid dim."""
+    gs = [g for g in range(min(nwx, max(1, 256 // t)), 0, -1) if nwx % g == 0]
+    fallback = None
+    for g in gs:
+        ta = g * t
+        for hg in range(num_heads, 0, -1):
+            if num_heads % hg:
+                continue
+            used = (4 * ta * c * xbytes           # x + out, double-buffered
+                    + 2 * c * 3 * hg * hp * xbytes  # wqkv block, dbuf
+                    + 2 * hg * hp * c * xbytes      # wproj block, dbuf
+                    + ta * c * xbytes               # normed scratch
+                    + ta * c * 4                    # fp32 accumulator
+                    + ta * 3 * hg * hp * 4          # qkv fp32 pre-cast
+                    + ta * ta * 8                   # iota pair + mask
+                    + ta * ta * 4                   # per-head logits
+                    + ta * hg * hp * xbytes)        # concat attn
+            if used <= budget and ta <= 256:
+                return g, hg
+            fallback = (g, hg)
+    return fallback if fallback is not None else (1, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "num_heads"))
@@ -109,27 +183,67 @@ def fused_window_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     """
     b, h, w, c = x.shape
     nwy = h // window
-    row = lambda i, j: (i, j, 0, 0)
-    const2 = lambda i, j: (0, 0)
+    nwx = w // window
+    t = window * window
+    hd = c // num_heads
+    hp = max(128, -(-hd // 128) * 128)
+    g, hg = _pick_attn_blocks(nwx, t, c, num_heads, hp,
+                              jnp.dtype(x.dtype).itemsize)
+    ngroups = num_heads // hg
+
+    # repack weights head-padded and GROUPED: for each head group,
+    # [q cols | k cols | v cols] of that group's heads are contiguous, so
+    # the (c, 3·hg·hp) weight block for grid step j is one lane slice
+    def grouped(m, is_bias=False):
+        mm = m[None] if is_bias else m
+        parts = [_pad_heads(mm[..., i * c:(i + 1) * c], num_heads, hp)
+                 .reshape(*mm.shape[:-1], num_heads, hp)
+                 for i in range(3)]               # q, k, v: (…, H, hp)
+        groups = []
+        for j in range(ngroups):
+            sl = slice(j * hg, (j + 1) * hg)
+            groups.extend(p[..., sl, :].reshape(*mm.shape[:-1], hg * hp)
+                          for p in parts)
+        out = jnp.concatenate(groups, axis=-1)    # (…, 3·H·hp)
+        return out[0] if is_bias else out
+
+    wqkv_p = grouped(wqkv)
+    bqkv_p = grouped(bqkv, is_bias=True)
+    wproj_p = _pad_heads(wproj.T, num_heads, hp).T      # (H·hp, C), head-major
+
+    d3 = 3 * num_heads * hp
+    blk_w = g * window
     return pl.pallas_call(
-        functools.partial(_attn_kernel, window=window, num_heads=num_heads),
-        grid=(b, nwy),
+        functools.partial(_attn_kernel, window=window, heads_per_group=hg,
+                          head_dim=hd, hp=hp),
+        grid=(b, nwy, nwx // g, ngroups),
         in_specs=[
-            pl.BlockSpec((1, window, w, c), row, memory_space=pltpu.ANY
-                         if False else pltpu.VMEM),
-            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * c), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * c), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, window, blk_w, c), lambda i, j, k, l: (i, j, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j, k, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j, k, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * hg * hp), lambda i, j, k, l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hg * hp), lambda i, j, k, l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hg * hp, c), lambda i, j, k, l: (l, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j, k, l: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, window, w, c), row,
+        out_specs=pl.BlockSpec((1, window, blk_w, c),
+                               lambda i, j, k, l: (i, j, k, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((window * blk_w, c), x.dtype),   # LN output
+            pltpu.VMEM((window * blk_w, c), jnp.float32),  # accumulator
+        ],
         interpret=_interpret(),
-    )(x, ln_scale.reshape(1, c), ln_bias.reshape(1, c), wqkv,
-      bqkv.reshape(1, 3 * c), wproj, bproj.reshape(1, c))
+    )(x, ln_scale.reshape(1, c), ln_bias.reshape(1, c), wqkv_p,
+      bqkv_p.reshape(1, d3), wproj_p, bproj.reshape(1, c))
 
 
 # ---------------------------------------------------------------------------
@@ -150,8 +264,8 @@ def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     hidden = jnp.dot(normed_ref[:], w1_ref[:],
                      preferred_element_type=jnp.float32)
-    hidden = jax.nn.gelu(hidden + b1_ref[0].astype(jnp.float32),
-                         approximate=False).astype(x_ref.dtype)
+    hidden = _gelu_exact(hidden + b1_ref[0].astype(jnp.float32)
+                         ).astype(x_ref.dtype)
     acc_ref[:] += jnp.dot(hidden, w2_ref[:],
                           preferred_element_type=jnp.float32)
 
@@ -167,6 +281,44 @@ def _pick_tile(m: int, target: int = 512) -> int:
     return m
 
 
+def _hidden_chunks(hid: int, target: int = 1024):
+    """128-multiple divisors of ``hid`` ≤ target, descending; plus ``hid``
+    whole if small (Mosaic requires lane-dim blocks divisible by 128 or
+    full-size)."""
+    out = [hid] if hid <= target else []
+    for mult in range(target // 128, 0, -1):
+        if hid % (128 * mult) == 0:
+            out.append(128 * mult)
+    return out or [hid]
+
+
+def _pick_mlp_blocks(m: int, c: int, hid: int, xbytes: int,
+                     budget: int = 12 * 2**20):
+    """Largest (row tile, hidden chunk) whose VMEM footprint fits.
+
+    Footprint model: double-buffered x/out tiles and w1/w2 blocks, the
+    LN scratch, fp32 accumulator, and the fp32 hidden intermediate. Row
+    tile is prioritized — weight re-streaming scales with m/tm, so a
+    bigger tm saves far more HBM traffic than a bigger hc. The 12 MB
+    budget leaves headroom under the 16 MB scoped-vmem limit (stack
+    temps, Mosaic padding)."""
+    fallback = None
+    for tm in (512, 256, 128, 64, 32, 16, 8):
+        if m % tm:
+            continue
+        for hc in _hidden_chunks(hid):
+            used = (4 * tm * c * xbytes          # x + out, double-buffered
+                    + 4 * c * hc * xbytes        # w1 + w2, double-buffered
+                    + tm * c * xbytes            # normed scratch
+                    + tm * c * 4                 # fp32 accumulator
+                    + tm * hc * 4                # fp32 hidden temp
+                    + 2 * hc * 4 + 2 * c * 4)    # biases / LN params
+            if used <= budget:
+                return tm, hc
+            fallback = (tm, hc)                  # smallest combo seen
+    return fallback if fallback is not None else (m, hid)
+
+
 @jax.jit
 def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2):
     """x: (..., C). Returns x + fc2(gelu(fc1(LN(x)))) — the second half of
@@ -177,8 +329,7 @@ def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2):
     hid = w1.shape[1]
     xt = x.reshape(-1, c)
     m = xt.shape[0]
-    tm = _pick_tile(m)
-    hc = _pick_tile(hid, 1024)
+    tm, hc = _pick_mlp_blocks(m, c, hid, jnp.dtype(x.dtype).itemsize)
     grid = (m // tm, hid // hc)
 
     out = pl.pallas_call(

@@ -102,6 +102,40 @@ class propagationSegmenter(saber3D):
                     max_conf[update] = conf
         return final
 
+    def batched_segment(self, volume: np.ndarray, ini_depth: int,
+                        nframes: Optional[int] = None, target_class: int = 1,
+                        text_prompt: Optional[str] = None):
+        """Single-chip multi-seed batching: all seed slices' objects ride
+        ONE bidirectional propagation scan (per-object cond_frame,
+        models/video.py), so each z-slice is encoded once total instead of
+        once per seed — the reference's serial per-seed loop
+        (saber/segmenters/propagation.py:92-118) re-encodes the volume
+        S times. Output matches ``single_segment``'s max-merge semantics
+        (binary for target_class > 0) up to overlap tie-breaking.
+        """
+        seeds_by_frame = {}
+        for ii in range(2, volume.shape[0], ini_depth):
+            masks = self.segment_image(volume[ii], display=False,
+                                       target_class=target_class,
+                                       text_prompt=text_prompt)
+            if masks:
+                seeds_by_frame[ii] = [m["segmentation"] for m in masks]
+        if not seeds_by_frame:
+            return utils.separate_masks(
+                np.zeros(volume.shape, dtype=np.uint16))
+
+        if not self._vol_loaded:
+            self.video_predictor.set_volume(volume)
+            self._vol_loaded = True
+        labeled = self.video_predictor.segment_volume_multi_seed(
+            seeds_by_frame, vol_shape=volume.shape,
+            max_frame_num_to_track=nframes,
+            min_presence_score=self.filter_threshold)
+        self.video_predictor.reset_state()
+        if target_class > 0:
+            labeled = (labeled > 0).astype(np.uint8)
+        return utils.separate_masks(labeled.astype(np.uint16))
+
     def parallel_segment(self, volume: np.ndarray, ini_depth: int,
                          nframes: Optional[int] = None, target_class: int = 1,
                          text_prompt: Optional[str] = None,

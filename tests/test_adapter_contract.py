@@ -109,6 +109,42 @@ def test_segment_volume_contract(adapter, volume):
     adapter.reset_state()
 
 
+def test_segment_volume_multi_seed_matches_single(adapter, volume):
+    """With one seed frame, the batched multi-seed path must reproduce
+    segment_volume's output (the degenerate case shares all semantics:
+    seeding, bidirectional scan, presence gating)."""
+    adapter.set_volume(volume)
+    mask = np.zeros((80, 80), np.float32)
+    mask[25:55, 25:55] = 1
+    single = adapter.segment_volume(start_frame_idx=3, masks=[mask],
+                                    min_presence_score=0.0)
+    adapter.reset_state()
+    multi = adapter.segment_volume_multi_seed({3: [mask]},
+                                              min_presence_score=0.0)
+    np.testing.assert_array_equal(single, multi)
+    assert 1 in adapter.frame_metrics[0]
+    adapter.reset_state()
+
+
+def test_segment_volume_multi_seed_two_frames(adapter, volume):
+    """Seeds at two frames propagate in one batched scan and both objects
+    appear in the output labels (disjoint masks — overlapping objects
+    merge by max like the reference's per-seed np.maximum)."""
+    adapter.set_volume(volume)
+    m1 = np.zeros((80, 80), np.float32)
+    m1[25:55, 25:39] = 1
+    m2 = np.zeros((80, 80), np.float32)
+    m2[25:55, 41:55] = 1
+    out = adapter.segment_volume_multi_seed({1: [m1], 4: [m2]},
+                                            min_presence_score=0.0)
+    assert out.shape == volume.shape and out.dtype == np.uint16
+    assert set(np.unique(out)) <= {0, 1, 2}
+    # both seed frames carry segmentation; both objects got metrics
+    assert (out[1] > 0).any() and (out[4] > 0).any()
+    assert set(adapter.frame_metrics[0]) == {1, 2}
+    adapter.reset_state()
+
+
 def test_segment_volume_empty_masks(adapter, volume):
     adapter.set_volume(volume)
     out = adapter.segment_volume(start_frame_idx=3, masks=[

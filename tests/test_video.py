@@ -31,8 +31,9 @@ def test_init_state_shapes(core):
     vc, _ = core
     st = init_state(3, vc.cfg)
     assert st.mem_feats.shape == (1, 3, 64, 64)  # num_maskmem=2 → 1 ring slot
-    assert st.cond_frame == -1
+    assert (st.cond_frame == -1).all() and st.cond_frame.shape == (3,)
     assert st.ptr.shape[0] == vc.cfg.max_obj_ptrs_in_encoder - 1
+    assert st.mem_frames.shape == (1, 3) and st.obj_valid.all()
 
 
 def test_seed_and_step(core, rng):
@@ -43,7 +44,7 @@ def test_seed_and_step(core, rng):
 
     st = init_state(2, vc.cfg)
     st, seed_logits = vc.seed(params, frame0, _seed_masks(), jnp.asarray(0), st)
-    assert int(st.cond_frame) == 0
+    assert (np.asarray(st.cond_frame) == 0).all()
     assert seed_logits.shape == (2, IMG // 4, IMG // 4)
     # seeded logits binarize back to the input masks (downsampled)
     seeded = np.asarray(seed_logits[0] > 0)
@@ -56,10 +57,10 @@ def test_seed_and_step(core, rng):
     assert scores.shape == (2, 2, 1)
     assert np.isfinite(np.asarray(low)).all()
     assert np.isfinite(np.asarray(scores)).all()
-    # memory ring now holds frame 2 (the newest)
-    assert int(st2.mem_frames[0]) == 2
-    assert int(st2.ptr_frames[0]) == 2
-    assert int(st2.ptr_frames[1]) == 1
+    # memory ring now holds frame 2 (the newest), for every object
+    assert (np.asarray(st2.mem_frames[0]) == 2).all()
+    assert (np.asarray(st2.ptr_frames[0]) == 2).all()
+    assert (np.asarray(st2.ptr_frames[1]) == 1).all()
 
 
 def test_propagation_deterministic(core, rng):
@@ -73,6 +74,71 @@ def test_propagation_deterministic(core, rng):
     _, (low1, _) = vc.propagate_slab(params, st, slab, jnp.asarray([1]), jnp.asarray(1.0))
     _, (low2, _) = vc.propagate_slab(params, st, slab, jnp.asarray([1]), jnp.asarray(1.0))
     np.testing.assert_allclose(np.asarray(low1), np.asarray(low2))
+
+
+def test_multi_seed_batch_matches_independent_runs(core, rng):
+    """Objects seeded at different frames in ONE batched state must track
+    exactly as if each were propagated alone (per-object cond_frame +
+    activation gating; the batch axis never mixes objects)."""
+    vc, params = core
+    frames = jnp.asarray(rng.standard_normal((5, IMG, IMG, 3)).astype(np.float32))
+    backbone = vc.encode_batch(params, frames)
+    slab = VideoCore.slab_frames(backbone)
+    frame_at = lambda i: jax.tree.map(
+        lambda x: x[i:i + 1] if x.ndim == 4 else x, backbone)
+    masks = _seed_masks()
+
+    # object A alone: seed at 1, forward over 2..4
+    st_a = init_state(1, vc.cfg)
+    st_a, _ = vc.seed(params, frame_at(1), masks[:1], jnp.asarray(1), st_a)
+    _, (low_a, sc_a) = vc.propagate_slab(
+        params, st_a, jax.tree.map(lambda x: x[2:], slab),
+        jnp.asarray([2, 3, 4]), jnp.asarray(1.0))
+
+    # object B alone: seed at 3, forward over 4
+    st_b = init_state(1, vc.cfg)
+    st_b, _ = vc.seed(params, frame_at(3), masks[1:], jnp.asarray(3), st_b)
+    _, (low_b, _) = vc.propagate_slab(
+        params, st_b, jax.tree.map(lambda x: x[4:], slab),
+        jnp.asarray([4]), jnp.asarray(1.0))
+
+    # batched: both objects, per-object cond frames, one scan over 2..4
+    bb2 = jax.tree.map(
+        lambda x: x[jnp.asarray([1, 3])] if x.ndim == 4 else x, backbone)
+    st = init_state(2, vc.cfg)
+    st, _ = vc.seed(params, bb2, masks, jnp.asarray([1, 3]), st)
+    _, (low, sc) = vc.propagate_slab(
+        params, st, jax.tree.map(lambda x: x[2:], slab),
+        jnp.asarray([2, 3, 4]), jnp.asarray(1.0))
+
+    low, sc = np.asarray(low), np.asarray(sc)
+    np.testing.assert_allclose(low[:, 0], np.asarray(low_a)[:, 0], atol=2e-4)
+    np.testing.assert_allclose(sc[:, 0], np.asarray(sc_a)[:, 0], atol=2e-4)
+    # B inactive before its seed frame: forced-empty outputs
+    assert (low[0, 1] == -10.0).all() and (low[1, 1] == -10.0).all()
+    assert (sc[0, 1] == -20.0).all()
+    np.testing.assert_allclose(low[2, 1], np.asarray(low_b)[0, 0], atol=2e-4)
+
+
+def test_multi_seed_span_and_padding_gating(core, rng):
+    """span limits tracking distance per object; invalid padding slots
+    never activate."""
+    vc, params = core
+    frames = jnp.asarray(rng.standard_normal((4, IMG, IMG, 3)).astype(np.float32))
+    backbone = vc.encode_batch(params, frames)
+    slab = VideoCore.slab_frames(backbone)
+    frame0 = jax.tree.map(lambda x: x[:1] if x.ndim == 4 else x, backbone)
+
+    st = init_state(2, vc.cfg)
+    st, _ = vc.seed(params, frame0, _seed_masks(), jnp.asarray(0), st,
+                    valid=jnp.asarray([True, False]))
+    _, (low, _) = vc.propagate_slab(
+        params, st, jax.tree.map(lambda x: x[1:], slab),
+        jnp.asarray([1, 2, 3]), jnp.asarray(1.0), jnp.asarray(2))
+    low = np.asarray(low)
+    assert (low[:, 1] == -10.0).all()            # padding slot never tracks
+    assert not (low[0, 0] == -10.0).all()        # within span
+    assert (low[2, 0] == -10.0).all()            # beyond span of 2
 
 
 def test_empty_memory_slots_are_masked(core, rng):
