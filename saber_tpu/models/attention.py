@@ -44,7 +44,11 @@ def scaled_dot_product_attention(q, k, v, use_flash: bool | None = None):
     if use_flash:
         try:
             from saber_tpu.ops.flash_attention import flash_attention
-            return flash_attention(q, k, v)
+            # block sizes tuned on v5e for the hiera global-attention
+            # shape (T=S=4096, D=72): 512/4096 measured 9.87 ms vs
+            # 10.58 ms at the 256/512 defaults (block_k self-clamps to
+            # the padded sequence for shorter inputs)
+            return flash_attention(q, k, v, block_q=512, block_k=4096)
         except Exception:
             pass
     return _xla_attention(q, k, v)

@@ -130,11 +130,14 @@ class RoPEAttention(nn.Module):
         import jax
         if (tq >= 1024 and jax.default_backend() == "tpu"
                 and 32 <= head_dim <= 256 and head_dim % 8 == 0):
-            # flash path: avoids materializing the (B, T, S) score matrix
+            # flash path: avoids materializing the (B, T, S) score matrix.
+            # Block sizes tuned on v5e for the memory-cross shape
+            # (T=4096, S~8.7k, D=64): 256/2048 measured 6.59 ms vs
+            # 7.19 ms at the 256/512 defaults.
             from saber_tpu.ops.flash_attention import flash_attention
             bias_vec = (attn_bias.reshape(b, tk) if attn_bias is not None
                         else None)
-            out = flash_attention(qp, kp, vp, bias=bias_vec)
+            out = flash_attention(qp, kp, vp, bias=bias_vec, block_k=2048)
             out = out.reshape(b, tq, internal)
         else:
             scale = head_dim**-0.5

@@ -87,11 +87,19 @@ def get_config(name: str, image_size: int = 1024, dtype=jnp.float32,
     if name not in PRESETS:
         raise ValueError(f"unknown SAM2 config '{name}', want one of {list(PRESETS)}")
     if fused_encoder is None:
-        # Default ON: measured 1.74x encoder speedup on a real v5e chip
-        # (37.8 vs 21.7 slices/s, hiera-L 1024^2 batch 8 — tools/
-        # bench_encoder.py); SABER_FUSED_BLOCK=0 opts out.
+        # Default ON for TPU: measured 1.8x encoder speedup on a real
+        # v5e chip (39.1 vs 21.7 slices/s, hiera-L 1024^2 batch 8 —
+        # tools/bench_encoder.py). On CPU the kernels only exist in
+        # interpret mode (slow emulation; the XLA path is equivalence-
+        # tested in tests/test_fused_block.py), so default OFF there.
+        # SABER_FUSED_BLOCK=0/1 forces either way.
         import os
-        fused_encoder = os.environ.get("SABER_FUSED_BLOCK", "1") == "1"
+        env = os.environ.get("SABER_FUSED_BLOCK")
+        if env is not None:
+            fused_encoder = env == "1"
+        else:
+            import jax
+            fused_encoder = jax.default_backend() == "tpu"
     return SAM2Config(name=name, image_size=image_size, dtype=dtype,
                       num_maskmem=num_maskmem, fused_encoder=fused_encoder,
                       **PRESETS[name])

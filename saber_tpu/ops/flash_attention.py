@@ -25,25 +25,30 @@ _NEG_INF = -1e30
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
                   seq_k: int, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale          # (BQ, D)
+    q = q_ref[0]                                      # (BQ, D), input dtype
     bq = q.shape[0]
     d_out = o_ref.shape[-1]
     num_k = seq_k // block_k
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        # keep matmul operands in the input dtype (bf16 on TPU — fp32
+        # operands would run the MXU at 1/4 throughput) and accumulate
+        # fp32; scale applies to the fp32 logits
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         # bias rides in an (8, S) replicated layout to satisfy TPU tiling
         b = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
-        s = s + b[None, :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + b[None, :]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         correction = jnp.exp(m_prev - m_new)
         l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * correction + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * correction + jnp.dot(p.astype(v.dtype), v,
+                                         preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((bq, d_out), jnp.float32)

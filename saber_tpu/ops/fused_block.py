@@ -144,33 +144,59 @@ def _pad_heads(w_cols: jnp.ndarray, num_heads: int, hp: int) -> jnp.ndarray:
     return jnp.pad(shaped, pad).reshape(*w_cols.shape[:-1], num_heads * hp)
 
 
-def _pick_attn_blocks(nwx: int, t: int, c: int, num_heads: int, hp: int,
+def _attn_vmem(ta, c, hg, hp, wbuf, xbytes):
+    return (4 * ta * c * xbytes               # x + out, double-buffered
+            + wbuf * c * 3 * hg * hp * xbytes   # wqkv block
+            + wbuf * hg * hp * c * xbytes       # wproj block
+            + ta * c * xbytes                 # normed scratch
+            + ta * c * 4                      # fp32 accumulator
+            + ta * 3 * hg * hp * 4            # qkv fp32 pre-cast
+            + ta * ta * 8                     # iota pair + mask
+            + ta * ta * 4                     # per-head logits
+            + ta * hg * hp * xbytes)          # concat attn
+
+
+def _pick_attn_blocks(nwx: int, t: int, c: int, num_heads: int, hd: int,
                       xbytes: int, budget: int = 12 * 2**20):
-    """Largest (windows per band g, heads per group hg) fitting VMEM.
+    """(windows per band g, heads per group hg, padded head width hp).
 
     Bands of ~256 tokens keep the masked-logits waste small while filling
-    MXU rows; head groups stream the padded qkv/proj weights (hiera-L
-    stage 4's padded qkv alone is 14 MB) through the innermost grid dim."""
+    MXU rows. Preference order (all measured on a v5e chip):
+
+    1. PADDED (hp = 128-multiple) weights, all heads, fully VMEM-resident
+       — a constant weight-block index means Pallas fetches once with a
+       single buffer. 128-aligned per-head lane slices are free. Covers
+       stages 1-3. (39.1 slices/s on the hiera-L encoder A/B.)
+    2. UNPADDED (hp == hd) all-heads resident — fallback when only the
+       0.56x-smaller unpadded weights fit. Mosaic handles the misaligned
+       72-lane head slices but pays VPU relayout per head, and the MXU
+       pads the 72-lane contraction internally anyway, so this measured
+       SLOWER (37.9) than (1) despite doing ~1.78x fewer qkv/proj FLOPs
+       — hence second choice.
+    3. PADDED with head groups streaming through the innermost grid dim
+       — required when no resident variant fits (hiera-L stage 4); an
+       unpadded group block of 3·hg·hd lanes is not 128-tileable.
+    """
+    hp128 = max(128, -(-hd // 128) * 128)
     gs = [g for g in range(min(nwx, max(1, 256 // t)), 0, -1) if nwx % g == 0]
+    for hp_try in (hp128, hd):
+        for g in gs:
+            ta = g * t
+            if (ta <= 256 and
+                    _attn_vmem(ta, c, num_heads, hp_try, 1, xbytes) <= budget):
+                return g, num_heads, hp_try
     fallback = None
     for g in gs:
         ta = g * t
         for hg in range(num_heads, 0, -1):
             if num_heads % hg:
                 continue
-            used = (4 * ta * c * xbytes           # x + out, double-buffered
-                    + 2 * c * 3 * hg * hp * xbytes  # wqkv block, dbuf
-                    + 2 * hg * hp * c * xbytes      # wproj block, dbuf
-                    + ta * c * xbytes               # normed scratch
-                    + ta * c * 4                    # fp32 accumulator
-                    + ta * 3 * hg * hp * 4          # qkv fp32 pre-cast
-                    + ta * ta * 8                   # iota pair + mask
-                    + ta * ta * 4                   # per-head logits
-                    + ta * hg * hp * xbytes)        # concat attn
+            wbuf = 1 if hg == num_heads else 2
+            used = _attn_vmem(ta, c, hg, hp128, wbuf, xbytes)
             if used <= budget and ta <= 256:
-                return g, hg
-            fallback = (g, hg)
-    return fallback if fallback is not None else (1, 1)
+                return g, hg, hp128
+            fallback = (g, hg, hp128)
+    return fallback if fallback is not None else (1, 1, hp128)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "num_heads"))
@@ -186,9 +212,8 @@ def fused_window_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     nwx = w // window
     t = window * window
     hd = c // num_heads
-    hp = max(128, -(-hd // 128) * 128)
-    g, hg = _pick_attn_blocks(nwx, t, c, num_heads, hp,
-                              jnp.dtype(x.dtype).itemsize)
+    g, hg, hp = _pick_attn_blocks(nwx, t, c, num_heads, hd,
+                                  jnp.dtype(x.dtype).itemsize)
     ngroups = num_heads // hg
 
     # repack weights head-padded and GROUPED: for each head group,
@@ -303,19 +328,24 @@ def _pick_mlp_blocks(m: int, c: int, hid: int, xbytes: int,
     budget leaves headroom under the 16 MB scoped-vmem limit (stack
     temps, Mosaic padding)."""
     fallback = None
-    for tm in (512, 256, 128, 64, 32, 16, 8):
-        if m % tm:
-            continue
-        for hc in _hidden_chunks(hid):
-            used = (4 * tm * c * xbytes          # x + out, double-buffered
-                    + 4 * c * hc * xbytes        # w1 + w2, double-buffered
-                    + tm * c * xbytes            # normed scratch
-                    + tm * c * 4                 # fp32 accumulator
-                    + tm * hc * 4                # fp32 hidden temp
-                    + 2 * hc * 4 + 2 * c * 4)    # biases / LN params
-            if used <= budget:
-                return tm, hc
-            fallback = (tm, hc)                  # smallest combo seen
+    # pass 1: whole hidden dim resident (hc == hid → constant weight block
+    # index → Pallas fetches w1/w2 once, single-buffered, for the entire
+    # grid — no re-streaming as row tiles advance); pass 2: stream chunks
+    for resident in (True, False):
+        for tm in (512, 256, 128, 64, 32, 16, 8):
+            if m % tm:
+                continue
+            for hc in ([hid] if resident else _hidden_chunks(hid)):
+                wbuf = 1 if hc == hid else 2
+                used = (4 * tm * c * xbytes      # x + out, double-buffered
+                        + 2 * wbuf * c * hc * xbytes  # w1 + w2
+                        + tm * c * xbytes        # normed scratch
+                        + tm * c * 4             # fp32 accumulator
+                        + tm * hc * 4            # fp32 hidden temp
+                        + 2 * hc * 4 + 2 * c * 4)  # biases / LN params
+                if used <= budget:
+                    return tm, hc
+                fallback = (tm, hc)              # smallest combo seen
     return fallback if fallback is not None else (m, hid)
 
 
