@@ -23,39 +23,73 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+def _online_update(q, k, v, b, scale, acc, m_prev, l_prev):
+    """One online-softmax accumulation step. Matmul operands stay in the
+    input dtype (bf16 on TPU — fp32 operands would run the MXU at 1/4
+    throughput) with fp32 accumulation; scale applies to fp32 logits."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale + b[None, :]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    correction = jnp.exp(m_prev - m_new)
+    l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc * correction + jnp.dot(p.astype(v.dtype), v,
+                                     preferred_element_type=jnp.float32)
+    return acc, m_new, l_new
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
                   seq_k: int, scale: float):
+    """Resident-KV variant: the full (padded) key sequence lives in VMEM;
+    the loop walks it in ``block_k`` slices. Cheapest when K/V fit —
+    they are fetched once per batch·head row, not once per query block."""
     q = q_ref[0]                                      # (BQ, D), input dtype
     bq = q.shape[0]
     d_out = o_ref.shape[-1]
     num_k = seq_k // block_k
 
     def body(i, carry):
-        acc, m_prev, l_prev = carry
-        # keep matmul operands in the input dtype (bf16 on TPU — fp32
-        # operands would run the MXU at 1/4 throughput) and accumulate
-        # fp32; scale applies to the fp32 logits
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         # bias rides in an (8, S) replicated layout to satisfy TPU tiling
         b = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * scale + b[None, :]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        correction = jnp.exp(m_prev - m_new)
-        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * correction + jnp.dot(p.astype(v.dtype), v,
-                                         preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
+        return _online_update(q, k, v, b, scale, *carry)
 
     acc0 = jnp.zeros((bq, d_out), jnp.float32)
     m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_kernel_streamed(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                           acc_ref, m_ref, l_ref, *, scale: float):
+    """Streamed-KV variant: key blocks arrive through the innermost grid
+    dim with online-softmax state in VMEM scratch. Required when the key
+    sequence exceeds VMEM (e.g. a 7-slot memory bank at 1024 px: ~30k
+    tokens × 256 dims would need 60 MB resident)."""
+    kblk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kblk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    b = bias_ref[0, 0].astype(jnp.float32)
+    acc, m, l = _online_update(q_ref[0], k_ref[0], v_ref[0], b, scale,
+                               acc_ref[:], m_ref[:], l_ref[:])
+    acc_ref[:] = acc
+    m_ref[:] = m
+    l_ref[:] = l
+
+    @pl.when(kblk == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[:]
+                    / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
 def _pad_to(x, size, axis):
@@ -107,21 +141,44 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # TPU block shapes need the 2nd-minor dim divisible by 8
     bias_f = jnp.broadcast_to(bias_f, (b * h, 8, s_pad))
 
-    grid = (b * h, t_pad // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, seq_k=s_pad,
-                          scale=scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 8, s_pad), lambda i, j: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf, bias_f)
+    # resident K/V is cheaper (fetched once per batch·head row) but only
+    # legal when both padded K and V plus working set fit in VMEM
+    kv_bytes = 2 * s_pad * d * jnp.dtype(q.dtype).itemsize + 4 * s_pad * 8
+    if kv_bytes <= 8 * 2**20:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel, block_k=block_k, seq_k=s_pad,
+                              scale=scale),
+            grid=(b * h, t_pad // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, 8, s_pad), lambda i, j: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+            interpret=interpret,
+        )(qf, kf, vf, bias_f)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel_streamed, scale=scale),
+            grid=(b * h, t_pad // block_q, s_pad // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda i, j, l: (i, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda i, j, l: (i, l, 0)),
+                pl.BlockSpec((1, block_k, d), lambda i, j, l: (i, l, 0)),
+                pl.BlockSpec((1, 8, block_k), lambda i, j, l: (i, 0, l)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d),
+                                   lambda i, j, l: (i, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qf, kf, vf, bias_f)
 
     out = out[:, :t].reshape(b, h, t, d).transpose(0, 2, 1, 3)
     return out
