@@ -30,7 +30,8 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
                  gallery: bool = True, resume: bool = False,
                  max_retries: int = 0, filter_threshold: float = 0.5,
                  text_prompt: Optional[str] = None,
-                 parallel_slabs: bool = False):
+                 parallel_slabs: bool = False,
+                 batched_slabs: bool = False):
     """Batch 3D segmentation over all runs in `input`.
 
     ``resume`` skips runs already present in the output zarr (batch
@@ -63,6 +64,8 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
                                    text_prompt=text_prompt)
         seg = models["segmenter"]
         seg.filter_threshold = filter_threshold
+        if batched_slabs and hasattr(seg, "use_batched"):
+            seg.use_batched = True
         if parallel_slabs and num_slabs > 1:
             # one tomogram's slab jobs farm over all chips
             # (multiDepthTomoSegmenter.parallel_segment)
@@ -89,6 +92,8 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
 
     def work(run, device_id, models):
         models["segmenter"].filter_threshold = filter_threshold
+        if batched_slabs and hasattr(models["segmenter"], "use_batched"):
+            models["segmenter"].use_batched = True
         return segment_tomogram_core(
             run, models["segmenter"], writer, slab_thickness, num_slabs,
             delta_z, target_class, display_segmentation=False,
@@ -132,6 +137,9 @@ def run_tomo_seg(input: str, output: str = "segmentations.zarr",
 @click.option("--parallel-slabs", is_flag=True,
               help="farm one tomogram's slab jobs over all chips "
                    "(single-run, num_slabs > 1)")
+@click.option("--batched-slabs", is_flag=True,
+              help="batch all slab centers' seeds into one propagation "
+                   "scan (encode each slice once; num_slabs > 1)")
 def tomograms(**kwargs):
     """Zero-shot / classifier-filtered 3D segmentation of tomograms."""
     run_tomo_seg(**kwargs)

@@ -86,19 +86,25 @@ class multiDepthTomoSegmenter(tomoSegmenter):
                  amg_cfg: Optional[AMGConfig] = None, target_class: int = 1,
                  min_mask_area: int = 100, min_rel_box_size: float = 0.025):
         self.min_rel_box_size = min_rel_box_size
-        self.target_class = target_class
         super().__init__(deviceID=deviceID, cfg=cfg, amg_cfg=amg_cfg,
                          min_mask_area=min_mask_area)
+        # AFTER super().__init__: saber2D resets target_class to None,
+        # which silently broke segment() on a fresh instance
+        self.target_class = target_class
         if target_class < 1:
             raise ValueError(
                 "Multi-Depth Tomogram Segmenter only supports single-class "
                 "segmentation currently.")
         self.show_segments = False
+        self.use_batched = False   # route segment() → batched_segment
 
     def segment(self, vol, thickness: int, num_slabs: int = 3,
                 delta_z: int = 30, save_run: str = None, display: bool = False):
         self.show_segments = display
         if self.target_class > 0 or self.classifier is None:
+            if self.use_batched:
+                return self.batched_segment(vol, thickness, num_slabs,
+                                            delta_z)
             return self.single_segment(vol, thickness, num_slabs, delta_z)
         raise NotImplementedError("Multiclass segmentation is not implemented yet")
 
@@ -119,6 +125,47 @@ class multiDepthTomoSegmenter(tomoSegmenter):
                 continue
             np.maximum(combined, (masks3d > 0).astype(np.uint16), out=combined)
         combined = utils.separate_masks(combined)
+        if self.show_segments:
+            from saber_tpu.visualization import results as cryoviz
+            cryoviz.view_3d_seg(vol, combined)
+        return combined
+
+    def batched_segment(self, vol, thickness, num_slabs: int = 3,
+                        delta_z: int = 30):
+        """Single-chip multi-slab batching: every slab center's seed
+        masks ride ONE bidirectional propagation scan (per-object
+        cond_frame, adapters segment_volume_multi_seed) instead of
+        re-encoding + re-propagating the volume per slab — the
+        reference's serial loop costs num_slabs full passes
+        (tomo.py:205-253). AMG still runs once per slab projection
+        (those are distinct 2D problems); smoothing/normalization run
+        once. Output matches ``single_segment``'s binarized max-merge.
+        """
+        self.is_tomogram_mode = True
+        self.vol = np.asarray(gaussian_smoothing(np.asarray(vol), 5, dim=0))
+        self.vol = np.asarray(preprocess.normalize(self.vol))
+
+        seeds_by_frame = {}
+        for slab_center in self._slab_centers(vol.shape[0], num_slabs, delta_z):
+            self.image0 = np.asarray(preprocess.project_tomogram(
+                self.vol, slab_center, thickness))
+            masks = self.segment_image(self.image0, display=False,
+                                       target_class=self.target_class)
+            if masks:
+                seeds_by_frame[slab_center] = [m["segmentation"]
+                                               for m in masks]
+        if not seeds_by_frame:
+            return utils.separate_masks(
+                np.zeros(vol.shape, dtype=np.uint16))
+
+        if not self._vol_loaded:
+            self.video_predictor.set_volume(self.vol)
+            self._vol_loaded = True
+        labeled = self.video_predictor.segment_volume_multi_seed(
+            seeds_by_frame, vol_shape=self.vol.shape,
+            min_presence_score=self.filter_threshold)
+        self.video_predictor.reset_state()
+        combined = utils.separate_masks((labeled > 0).astype(np.uint16))
         if self.show_segments:
             from saber_tpu.visualization import results as cryoviz
             cryoviz.view_3d_seg(vol, combined)

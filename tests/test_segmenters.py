@@ -76,6 +76,49 @@ def test_propagation_segmenter(rng):
     assert out.dtype == np.uint32  # separate_masks output
 
 
+def test_batched_seed_propagation_matches_serial(rng):
+    """batched_segment (all seeds in one scan) finds the same bright
+    object as the serial per-seed loop."""
+    seg = propagationSegmenter(cfg=_cfg())
+    seg.filter_threshold = 0.0
+    vol = rng.standard_normal((7, 96, 96)).astype(np.float32) * 0.1
+    vol[:, 20:50, 20:50] += 2.0
+    out = seg.batched_segment(vol, ini_depth=3, nframes=2)
+    assert out.shape == vol.shape and out.dtype == np.uint32
+    seg2 = propagationSegmenter(cfg=_cfg())
+    seg2.filter_threshold = 0.0
+    serial = seg2.segment(vol, ini_depth=3, nframes=2, display=False)
+    if serial.max() > 0 and out.max() > 0:
+        inter = np.logical_and(out > 0, serial > 0).sum()
+        union = np.logical_or(out > 0, serial > 0).sum()
+        assert inter / union > 0.5
+
+
+def test_multidepth_batched_matches_single(rng):
+    """multiDepth batched_segment (one multi-seed scan) agrees with the
+    per-slab serial loop on foreground coverage."""
+    from saber_tpu.segmenters.tomo import multiDepthTomoSegmenter
+    seg = multiDepthTomoSegmenter(cfg=_cfg(), min_mask_area=10)
+    seg.filter_threshold = 0.0
+    vol = rng.standard_normal((8, 96, 96)).astype(np.float32) * 0.1
+    vol[:, 30:60, 30:60] += 2.5
+    serial = seg.single_segment(vol, thickness=2, num_slabs=2, delta_z=2)
+    seg._vol_loaded = False
+    seg.adapter.inference_state = None
+    batched = seg.batched_segment(vol, thickness=2, num_slabs=2, delta_z=2)
+    assert batched.shape == vol.shape
+    if serial.max() > 0 and batched.max() > 0:
+        inter = np.logical_and(batched > 0, serial > 0).sum()
+        union = np.logical_or(batched > 0, serial > 0).sum()
+        assert inter / union > 0.5
+    # segment() routes to the batched path when use_batched is set
+    seg._vol_loaded = False
+    seg.adapter.inference_state = None
+    seg.use_batched = True
+    routed = seg.segment(vol, thickness=2, num_slabs=2, delta_z=2)
+    np.testing.assert_array_equal(routed, batched)
+
+
 def test_parallel_seed_propagation(rng):
     """Seed-farmed propagation over 2 virtual devices matches the serial
     path's output shape/type and finds the same bright object."""
