@@ -128,10 +128,10 @@ class AutomaticMaskGenerator:
             lbl_r = jnp.concatenate(
                 [jnp.ones((p * k, 1), jnp.int32), -jnp.ones((p * k, 1), jnp.int32)],
                 axis=1)
-            backbone_r = jax.tree.map(
-                lambda x: jnp.repeat(x, k, axis=0) if x.ndim == 4 else x, backbone_b)
+            # backbone_b stays batch-1; the p·k-prompt refine pass
+            # broadcasts against it inside the decoder
             masks_r, iou_r, _, _ = self.model.apply(
-                {"params": params}, backbone_r, pts_r, lbl_r,
+                {"params": params}, backbone_b, pts_r, lbl_r,
                 flat_masks[..., None], multimask_output=False,
                 dynamic_multimask=False, method=SAM2.decode)
             flat_masks = masks_r[:, 0]
@@ -179,9 +179,11 @@ class AutomaticMaskGenerator:
             chunks = grid_p.reshape(-1, chunk, 2)
             chunk_valid = pad_mask.reshape(-1, chunk)
 
+            # batch-1 image features: the decoder broadcasts them against
+            # the prompt batch lazily at the skip-connection adds, instead
+            # of materializing (chunk, 256, 256, 256) fpn copies
             backbone_b = jax.tree.map(
-                lambda x: jnp.broadcast_to(x[None], (chunk, *x.shape))
-                if x.ndim == 3 else x, backbone)
+                lambda x: x[None] if x.ndim == 3 else x, backbone)
 
             init = {
                 "masks": jnp.full((cap, lowres, lowres), -1e4, jnp.float32),

@@ -187,9 +187,16 @@ class SAM2(nn.Module):
             c = embed.shape[-1]
             embed = embed + self.no_mem_embed[0].reshape(1, 1, 1, c).astype(embed.dtype)
         high_res = [backbone["backbone_fpn"][0], backbone["backbone_fpn"][1]]
+        # prompt batch comes from the prompts; image features may ride a
+        # batch-1 axis and broadcast lazily inside the decoder (the AMG
+        # sweeps hundreds of prompts against ONE crop's features —
+        # materializing (P, 256, 256, 256) fpn broadcasts cost ~25 GB at
+        # 1024 px before this)
+        batch = (points.shape[0] if points is not None
+                 else mask_inputs.shape[0] if mask_inputs is not None
+                 else embed.shape[0])
         sparse, dense = self.sam_prompt_encoder(
-            points=points, labels=labels, masks=mask_inputs,
-            batch=embed.shape[0])
+            points=points, labels=labels, masks=mask_inputs, batch=batch)
         image_pe = self.sam_prompt_encoder.get_dense_pe()
         return self.sam_mask_decoder(
             embed, image_pe, sparse, dense, high_res_features=high_res,
