@@ -31,7 +31,8 @@ from saber_tpu.ops import thickness
 
 
 def _paint_slab(low_logits: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """(F, B, low, low) logits → (F, H, W) int32 label maps.
+    """(F, B, low, low) logits → (F, H, W) uint16 label maps (uint16 on
+    device so the per-chunk host transfer is half the bytes of int32).
 
     Later object ids overwrite earlier ones where masks overlap, matching
     the reference's sequential paint (predictor.py:289-297); binarize at
@@ -42,7 +43,7 @@ def _paint_slab(low_logits: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     ids = jnp.arange(1, b + 1, dtype=jnp.int32).reshape(1, b, 1, 1)
     labels = jnp.max(m * ids, axis=1)  # (F, low, low); higher id wins
     return jax.image.resize(labels.astype(jnp.float32), (f, out_h, out_w),
-                            method="nearest").astype(jnp.int32)
+                            method="nearest").astype(jnp.uint16)
 
 
 _paint_slab = jax.jit(_paint_slab, static_argnames=("out_h", "out_w"))
@@ -54,7 +55,7 @@ class SAM2Adapter(BaseAdapter):
     mesh = None  # class default: subclasses with their own __init__ inherit it
 
     def __init__(self, config: SAM2AdapterConfig, device: str = "tpu",
-                 encode_chunk: int = 8):
+                 encode_chunk: int = 16):
         if config.num_maskmem > 7:
             raise ValueError("num_maskmem must be less than 7")
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
@@ -114,8 +115,13 @@ class SAM2Adapter(BaseAdapter):
         on the fly, fused ahead of the encoder — instead of materializing
         the reference's (Z, 3, 1024, 1024) fp32 frame tensor
         (its "memory cliff", SURVEY.md §3 hot-loop (d))."""
-        tomogram = np.asarray(tomogram, np.float32)
-        self._vol_shape = tomogram.shape
+        if isinstance(tomogram, np.ndarray):
+            tomogram = tomogram.astype(np.float32, copy=False)
+        else:
+            # already a device array: keep it resident — round-tripping a
+            # 512-cubed volume through the host costs ~1 GB of transfers
+            tomogram = jnp.asarray(tomogram, jnp.float32)
+        self._vol_shape = tuple(tomogram.shape)
         self.frame_metrics = {}
         z, h, w = tomogram.shape
         self.inference_state = {
@@ -333,6 +339,12 @@ class SAM2Adapter(BaseAdapter):
             _paint_slab(seed_logits[None], h, w))[0]
         frame_scores[start_frame_idx] = 10.0  # seeded frame: object present
 
+        # dispatch every chunk WITHOUT host syncs: JAX queues the whole
+        # bidirectional pipeline asynchronously on the device, and the
+        # painted labels transfer once at the end. A blocking np.asarray
+        # per chunk serialized ~7 relay round trips per chunk against the
+        # device (~200 s of pure RPC latency on a 512-slice volume).
+        pending = []                 # (idxs, painted_dev, scores_dev)
         for reverse in (False, True):
             if reverse:
                 lo = max(0, start_frame_idx - span)
@@ -348,9 +360,10 @@ class SAM2Adapter(BaseAdapter):
                 frames = self._encode_frames_at(state, idxs)
                 ps, (low, scores) = self.core.propagate_slab(
                     self.params, ps, frames, jnp.asarray(idxs), jnp.asarray(sign))
-                painted = np.asarray(_paint_slab(low, h, w))
-                vol_masks[idxs] = painted
-                frame_scores[idxs] = np.asarray(scores)[:, :, 0]
+                pending.append((idxs, _paint_slab(low, h, w), scores))
+        for idxs, painted, scores in pending:
+            vol_masks[idxs] = np.asarray(painted)
+            frame_scores[idxs] = np.asarray(scores)[:, :, 0]
 
         # presence gating (reference sam2 predictor.py:322-346; the SAM3
         # adapter overrides _presence_scores with per-frame sigmoid
@@ -358,12 +371,14 @@ class SAM2Adapter(BaseAdapter):
         self.frame_metrics = {}
         boundaries = self._presence_scores(frame_scores)
         for fidx in range(z):
-            self.frame_metrics[fidx] = {}
-            for k, obj_id in enumerate(obj_ids):
-                score = float(boundaries[fidx, k])
-                self.frame_metrics[fidx][obj_id] = {"presence_score": score}
-                if score < min_presence_score:
-                    vol_masks[fidx][vol_masks[fidx] == obj_id] = 0
+            self.frame_metrics[fidx] = {
+                obj_id: {"presence_score": float(boundaries[fidx, k])}
+                for k, obj_id in enumerate(obj_ids)}
+        # gate via a per-frame label LUT (one vector pass instead of a
+        # masked full-frame write per frame x object)
+        lut = np.tile(np.arange(n_obj + 1, dtype=vol_masks.dtype), (z, 1))
+        lut[:, 1:][boundaries < min_presence_score] = 0
+        vol_masks = lut[np.arange(z)[:, None, None], vol_masks]
 
         return vol_masks.astype(np.uint16)
 
@@ -441,6 +456,7 @@ class SAM2Adapter(BaseAdapter):
         vol_masks = np.zeros((z, h, w), np.uint16)
         frame_scores = np.full((z, cap), -20.0, np.float32)
 
+        pending = []      # async-dispatched chunks; one host sync at the end
         for reverse in (False, True):
             if reverse:
                 order = np.arange(hi_seed - 1, -1, -1)
@@ -455,12 +471,13 @@ class SAM2Adapter(BaseAdapter):
                 ps, (low, scores) = self.core.propagate_slab(
                     self.params, ps, frames, jnp.asarray(idxs),
                     jnp.asarray(sign), span)
-                painted = np.asarray(_paint_slab(low, h, w))
-                # objects active in this direction overwrite; both
-                # directions are disjoint per object, so max-merge is exact
-                np.maximum.at(vol_masks, idxs, painted.astype(np.uint16))
-                np.maximum.at(frame_scores, idxs,
-                              np.asarray(scores)[:, :, 0])
+                pending.append((idxs, _paint_slab(low, h, w), scores))
+        for idxs, painted, scores in pending:
+            # objects active in this direction overwrite; both
+            # directions are disjoint per object, so max-merge is exact
+            np.maximum.at(vol_masks, idxs,
+                          np.asarray(painted).astype(np.uint16))
+            np.maximum.at(frame_scores, idxs, np.asarray(scores)[:, :, 0])
 
         # seed frames emit their own masks (the scan skips rel == 0)
         seed_painted = np.asarray(_paint_slab(seed_logits[None], h, w))[0]
@@ -476,12 +493,13 @@ class SAM2Adapter(BaseAdapter):
         self.frame_metrics = {}
         boundaries = self._presence_scores(frame_scores[:, :n_obj])
         for fidx in range(z):
-            self.frame_metrics[fidx] = {}
-            for k in range(n_obj):
-                score = float(boundaries[fidx, k])
-                self.frame_metrics[fidx][k + 1] = {"presence_score": score}
-                if score < min_presence_score:
-                    vol_masks[fidx][vol_masks[fidx] == k + 1] = 0
+            self.frame_metrics[fidx] = {
+                k + 1: {"presence_score": float(boundaries[fidx, k])}
+                for k in range(n_obj)}
+        lut = np.tile(np.arange(cap + 1, dtype=vol_masks.dtype), (z, 1))
+        lut[:, 1:n_obj + 1][boundaries < min_presence_score] = 0
+        lut[:, n_obj + 1:] = 0     # padding slots never keep labels
+        vol_masks = lut[np.arange(z)[:, None, None], vol_masks]
 
         return vol_masks.astype(np.uint16)
 

@@ -39,20 +39,25 @@ def _integer_gaussian_kernel(sigma: float) -> np.ndarray:
 def _conv1d_along(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Convolve an N-D array with a 1-D kernel along `axis`, zero-padded same.
 
-    Runs as a rank-1 depthwise convolution: all other dims fold into batch.
-    """
+    Computed as a statically unrolled sum of shifted slices (one fused
+    elementwise pass). The previous formulation — transpose + rank-1
+    depthwise conv with all other dims folded into batch — hit a
+    pathological XLA conv path on TPU: smoothing a 512-cubed volume took
+    365 s; the shifted-add form is bandwidth-bound (~tens of ms)."""
     x = jnp.asarray(x, jnp.float32)
-    moved = jnp.moveaxis(x, axis, -1)
-    lead = moved.shape[:-1]
-    n = moved.shape[-1]
-    flat = moved.reshape((-1, 1, n))  # (N, C=1, W)
-    k = jnp.asarray(kernel, jnp.float32).reshape((1, 1, -1))  # (O=1, I=1, W)
-    pad = kernel.shape[0] // 2
-    out = jax.lax.conv_general_dilated(
-        flat, k, window_strides=(1,), padding=[(pad, pad)],
-        dimension_numbers=("NCW", "OIW", "NCW"),
-    )
-    return jnp.moveaxis(out.reshape(lead + (n,)), -1, axis)
+    ks = kernel.shape[0]
+    pad = ks // 2
+    n = x.shape[axis]
+    padcfg = [(0, 0)] * x.ndim
+    padcfg[axis] = (pad, pad)
+    xp = jnp.pad(x, padcfg)
+    out = None
+    for t in range(ks):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(t, t + n)
+        term = float(kernel[t]) * xp[tuple(sl)]
+        out = term if out is None else out + term
+    return out
 
 
 @partial(jax.jit, static_argnames=("sigma", "dim"))

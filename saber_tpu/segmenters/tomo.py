@@ -32,9 +32,15 @@ class tomoSegmenter(saber3D):
                      zSlice: Optional[int] = None, display: bool = True,
                      text: Optional[str] = None,
                      target_class: Optional[int] = 1):
-        """Smooth/project/segment one slab (reference tomo.py:32-61)."""
-        self.vol = np.asarray(gaussian_smoothing(np.asarray(vol), 5, dim=0))
-        self.vol = np.asarray(preprocess.normalize(self.vol))
+        """Smooth/project/segment one slab (reference tomo.py:32-61).
+
+        The smooth → normalize → project chain stays ON DEVICE (jnp in,
+        jnp out); only the projected 2D image transfers to host. Round-
+        tripping the full 512-cubed volume per stage cost ~1.5 GB of
+        host↔device traffic before."""
+        import jax.numpy as jnp
+        self.vol = preprocess.normalize(
+            gaussian_smoothing(jnp.asarray(vol, jnp.float32), 5, dim=0))
         if zSlice is None:
             zSlice = int(self.vol.shape[0] // 2)
         self.image0 = np.asarray(
@@ -141,9 +147,10 @@ class multiDepthTomoSegmenter(tomoSegmenter):
         (those are distinct 2D problems); smoothing/normalization run
         once. Output matches ``single_segment``'s binarized max-merge.
         """
+        import jax.numpy as jnp
         self.is_tomogram_mode = True
-        self.vol = np.asarray(gaussian_smoothing(np.asarray(vol), 5, dim=0))
-        self.vol = np.asarray(preprocess.normalize(self.vol))
+        self.vol = preprocess.normalize(
+            gaussian_smoothing(jnp.asarray(vol, jnp.float32), 5, dim=0))
 
         seeds_by_frame = {}
         for slab_center in self._slab_centers(vol.shape[0], num_slabs, delta_z):
