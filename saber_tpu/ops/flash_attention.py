@@ -142,9 +142,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bias_f = jnp.broadcast_to(bias_f, (b * h, 8, s_pad))
 
     # resident K/V is cheaper (fetched once per batch·head row) but only
-    # legal when both padded K and V plus working set fit in VMEM
+    # legal when both padded K and V plus working set fit in VMEM. The
+    # 10 MB budget keeps the default num_maskmem=2 memory bank
+    # (S≈8.4k, D=256 → 8.65 MB) on the resident path; block_q·block_k
+    # logits and the q/out blocks fit in the remainder.
     kv_bytes = 2 * s_pad * d * jnp.dtype(q.dtype).itemsize + 4 * s_pad * 8
-    if kv_bytes <= 8 * 2**20:
+    if kv_bytes <= 10 * 2**20:
         out = pl.pallas_call(
             functools.partial(_flash_kernel, block_k=block_k, seq_k=s_pad,
                               scale=scale),
