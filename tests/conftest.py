@@ -29,3 +29,17 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    Long single-process full-suite runs intermittently segfault inside
+    XLA:CPU's compiler after ~200 tests' worth of accumulated jitted
+    programs (observed at different tests on different runs; any single
+    module passes in isolation). Dropping the executable caches between
+    modules keeps the compiler state small; modules rarely share
+    programs, so the recompile cost is negligible."""
+    yield
+    jax.clear_caches()
