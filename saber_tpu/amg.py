@@ -259,14 +259,20 @@ class AutomaticMaskGenerator:
         for ci, layer in enumerate(layer_idxs):
             by_layer.setdefault(layer, []).append(ci)
 
+        img_dev = jnp.asarray(image, jnp.float32)   # one upload, reused
         all_data: List[Dict[str, np.ndarray]] = []
         for layer, cids in sorted(by_layer.items()):
-            resized = np.stack([
-                np.asarray(jax.image.resize(
-                    jnp.asarray(image[c[1]:c[3], c[0]:c[2]], jnp.float32),
-                    (model_size, model_size, 3), method="bilinear"))
+            # crop + resize + normalize stay ON DEVICE: the previous
+            # np.asarray round trip per crop cost 21 blocking transfers
+            # (~0.5 GB) per image on the TPU relay — ~65 of the 75 s AMG
+            # wall clock
+            resized = jnp.stack([
+                jax.image.resize(img_dev[c[1]:c[3], c[0]:c[2]],
+                                 (model_size, model_size, 3),
+                                 method="bilinear")
                 for c in (crop_boxes[i] for i in cids)])
-            resized = (resized - _IMAGENET_MEAN) / _IMAGENET_STD
+            resized = ((resized - jnp.asarray(_IMAGENET_MEAN))
+                       / jnp.asarray(_IMAGENET_STD))
             bb = self._encode(resized)
             n_side = max(1, cfg.npoints
                          // (cfg.crop_n_points_downscale_factor ** layer))
