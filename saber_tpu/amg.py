@@ -6,19 +6,28 @@ saber/adapters/sam2/automask.py:49-86 with a static-shape, jit-compiled
 pipeline (SURVEY.md §7.3):
 
 - the 32×32 point grid decodes through the mask decoder in fixed-size
-  prompt chunks (``points_per_batch``), multimask ×3 candidates per point;
-- optional mask-to-mask (m2m) refinement is a second single-mask decode
-  with the first pass's logits as dense prompt;
-- IoU / stability filters are vectorized; surviving candidates compact
-  into a fixed-capacity top-K ring via a scan (no dynamic shapes);
+  prompt chunks, multimask ×3 candidates per point; candidates gate on
+  ``pred_iou_thresh`` and compact into a fixed-capacity top-K ring;
+- mask-to-mask (m2m) refinement runs ONCE over the compacted ring after
+  the sweep — matching the torch AMG order (iou-filter first, refine the
+  survivors, stability-gate the refined masks) instead of refining every
+  grid candidate inside the sweep;
 - per-crop and cross-crop box NMS run on device
-  (saber_tpu/ops/amg_utils.py); the crop hierarchy
-  (``crop_n_layers``) batches each layer's crops through the encoder
-  together instead of looping crops in Python.
+  (saber_tpu/ops/amg_utils.py); the crop hierarchy (``crop_n_layers``)
+  batches each layer's crops through the encoder together instead of
+  looping crops in Python;
+- a single jitted finalize stage does the cross-crop NMS, global top-K
+  selection, bilinear upscale + paste into full-resolution canvases
+  (expressed as two matmuls per mask so the MXU does the interpolation),
+  and bit-packs the final boolean masks — only ~(K, H, W/8) bytes cross
+  the host boundary instead of every candidate's low-res logits
+  (the round-2 pipeline shipped ~1.1 GB of candidate buffers per image,
+  which WAS the 75 s AMG wall clock on the TPU relay).
 
-Differences vs torch (documented tolerance): stability scores and boxes
-are computed on the 256² low-res logits rather than the upscaled
-full-res masks (identical up to interpolation at the 0-threshold).
+Output boxes and areas are computed from the full-resolution pasted
+masks (torch AMG parity); stability scores still come from the 256²
+low-res logits (documented deviation, identical up to interpolation at
+the 0-threshold).
 
 The public surface is ``AutomaticMaskGenerator.generate(image) ->
 List[mask dict]`` with the reference's mask-dict schema plus the
@@ -26,6 +35,7 @@ relative-box/area filters of FilteredSAM2MaskGenerator (amg.py:139-201).
 """
 
 import math
+from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -48,6 +58,8 @@ MASK_THRESHOLD = 0.0
 # here, not in encode_image.
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+_PASTE_CHUNK = 32   # masks pasted per lax.map step in finalize
 
 
 def generate_crop_boxes(im_size: Tuple[int, int], n_layers: int,
@@ -80,6 +92,33 @@ def _topk_merge(buf, new, k):
     return jax.tree.map(lambda a: a[order], merged)
 
 
+def _paste_one(mask_low: jnp.ndarray, crop_param: jnp.ndarray,
+               h: int, w: int) -> jnp.ndarray:
+    """Bilinear-upscale a (low, low) logit map into an (h, w) canvas.
+
+    crop_param = (x0, y0, cw, ch) floats. Equivalent to
+    ``resize(mask, (ch, cw), 'linear')`` pasted at (y0, x0) — expressed as
+    two interpolation matmuls so the crop offset/size can be traced values
+    (one compiled program covers every crop) and the MXU does the work.
+    Pixels outside the crop stay exactly 0.
+    """
+    low = mask_low.shape[-1]
+
+    def interp_matrix(n_out, x0, extent):
+        xi = jnp.arange(n_out, dtype=jnp.float32)
+        u = (xi - x0 + 0.5) * (low / extent) - 0.5
+        uc = jnp.clip(u, 0.0, low - 1.0)
+        wmat = jnp.maximum(
+            0.0, 1.0 - jnp.abs(uc[:, None] - jnp.arange(low, dtype=jnp.float32)))
+        inside = (xi >= x0) & (xi <= x0 + extent - 1.0)
+        return wmat * inside[:, None]
+
+    x0, y0, cw, ch = crop_param[0], crop_param[1], crop_param[2], crop_param[3]
+    wy = interp_matrix(h, y0, ch)                      # (h, low)
+    wx = interp_matrix(w, x0, cw)                      # (w, low)
+    return (wy @ mask_low.astype(jnp.float32)) @ wx.T  # (h, w)
+
+
 class AutomaticMaskGenerator:
     """Dense point-grid mask generator over a JAX SAM2 model.
 
@@ -100,13 +139,19 @@ class AutomaticMaskGenerator:
         self.min_area_filter = min_area_filter
         self.max_area_filter = max_area_filter
         self._crop_fn_cache: Dict[Any, Any] = {}
+        self._finalize_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
     # Device pipeline
     # ------------------------------------------------------------------
 
     def _decode_chunk(self, params, backbone_b, points):
-        """points: (P, 2) model-frame pixels → (3P or P) candidates."""
+        """First-pass decode: points (P, 2) → P·k multimask candidates.
+
+        Candidates gate on ``pred_iou_thresh`` only (torch AMG m2m order:
+        the stability gate applies AFTER refinement); when m2m is off the
+        stability gate applies here.
+        """
         cfg = self.cfg
         p = points.shape[0]
         pts = jnp.concatenate([points[:, None, :], jnp.zeros((p, 1, 2))], axis=1)
@@ -120,37 +165,63 @@ class AutomaticMaskGenerator:
         flat_iou = iou.reshape(p * k)
         flat_points = jnp.repeat(points, k, axis=0)
 
+        valid = flat_iou > cfg.pred_iou_thresh
         if cfg.use_m2m:
-            # refine every candidate with a single-mask pass conditioned on
-            # the first-pass logits (torch AMG refine_with_m2m).
-            pts_r = jnp.concatenate(
-                [flat_points[:, None, :], jnp.zeros((p * k, 1, 2))], axis=1)
-            lbl_r = jnp.concatenate(
-                [jnp.ones((p * k, 1), jnp.int32), -jnp.ones((p * k, 1), jnp.int32)],
-                axis=1)
-            # backbone_b stays batch-1; the p·k-prompt refine pass
-            # broadcasts against it inside the decoder
-            masks_r, iou_r, _, _ = self.model.apply(
-                {"params": params}, backbone_b, pts_r, lbl_r,
-                flat_masks[..., None], multimask_output=False,
-                dynamic_multimask=False, method=SAM2.decode)
-            flat_masks = masks_r[:, 0]
-            flat_iou = iou_r[:, 0]
-
-        stability = calculate_stability_score(
-            flat_masks, MASK_THRESHOLD, cfg.stability_score_offset)
-        valid = (flat_iou > cfg.pred_iou_thresh) & (stability >= cfg.stability_score_thresh)
-        # empty masks can sneak through; drop them
-        valid &= jnp.any(flat_masks > MASK_THRESHOLD, axis=(-2, -1))
+            stability = jnp.zeros_like(flat_iou)  # filled post-refine
+        else:
+            stability = calculate_stability_score(
+                flat_masks, MASK_THRESHOLD, cfg.stability_score_offset)
+            valid &= stability >= cfg.stability_score_thresh
+            valid &= jnp.any(flat_masks > MASK_THRESHOLD, axis=(-2, -1))
         return {
             "masks": flat_masks, "iou": flat_iou, "stability": stability,
             "points": flat_points, "valid": valid,
         }
 
-    # Per-scan-step prompt budget when a layer's crops are batched: crops
-    # fold into the prompt batch, so each crop's chunk shrinks to keep the
-    # live decode tensors bounded while the MXU still sees a full batch.
-    STEP_PROMPT_BUDGET = 256
+    def _refine_ring(self, params, backbone_b, buf, chunk: int):
+        """m2m: re-decode the ring's survivors with their own logits as a
+        dense prompt (torch AMG refine_with_m2m). One chunked pass over
+        the ≤cap compacted candidates instead of ×3 every grid decode.
+
+        torch semantics: the iou gate already applied uses FIRST-pass
+        predictions; refined iou replaces the score (for ranking/NMS) and
+        the stability gate applies to the refined masks.
+        """
+        cfg = self.cfg
+        cap = buf["iou"].shape[0]
+        rcap = ((cap + chunk - 1) // chunk) * chunk
+        pad = rcap - cap
+
+        def padded(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], 0) if pad else a
+
+        pts_all = padded(buf["points"]).reshape(rcap // chunk, chunk, 2)
+        masks_all = padded(buf["masks"]).reshape(
+            rcap // chunk, chunk, *buf["masks"].shape[1:])
+
+        def step(_, inp):
+            pts, mlow = inp
+            p = pts.shape[0]
+            pts_r = jnp.concatenate([pts[:, None, :], jnp.zeros((p, 1, 2))], axis=1)
+            lbl_r = jnp.concatenate(
+                [jnp.ones((p, 1), jnp.int32), -jnp.ones((p, 1), jnp.int32)], axis=1)
+            masks_r, iou_r, _, _ = self.model.apply(
+                {"params": params}, backbone_b, pts_r, lbl_r,
+                mlow[..., None], multimask_output=False,
+                dynamic_multimask=False, method=SAM2.decode)
+            return None, (masks_r[:, 0], iou_r[:, 0])
+
+        _, (masks_r, iou_r) = jax.lax.scan(step, None, (pts_all, masks_all))
+        masks_r = masks_r.reshape(rcap, *masks_r.shape[2:])[:cap]
+        iou_r = iou_r.reshape(rcap)[:cap]
+
+        stability = calculate_stability_score(
+            masks_r, MASK_THRESHOLD, cfg.stability_score_offset)
+        valid = buf["valid"] & (stability >= cfg.stability_score_thresh)
+        valid &= jnp.any(masks_r > MASK_THRESHOLD, axis=(-2, -1))
+        return {"masks": masks_r, "iou": iou_r, "stability": stability,
+                "points": buf["points"], "valid": valid}
 
     def _build_layer_fn(self, n_points_side: int, chunk: int, n_crops: int):
         """jit-compiled grid sweep for every crop of one layer at once.
@@ -201,7 +272,12 @@ class AutomaticMaskGenerator:
 
             buf, _ = jax.lax.scan(step, init, (chunks, chunk_valid))
 
-            # per-crop NMS on low-res boxes (scaled up at the host boundary)
+            if cfg.use_m2m:
+                buf = self._refine_ring(params, backbone_b, buf, chunk)
+
+            # per-crop NMS on low-res boxes. Box IoU is invariant to the
+            # uniform per-crop scale, so NMS here ≡ torch's NMS on
+            # crop-resolution boxes.
             boxes = batched_mask_to_box(buf["masks"] > MASK_THRESHOLD)
             keep = batched_nms(boxes, buf["iou"], buf["valid"],
                                cfg.box_nms_thresh)
@@ -217,7 +293,7 @@ class AutomaticMaskGenerator:
         per_crop = min(self.cfg.points_per_batch, n_points_side**2)
         if n_crops > 1:
             per_crop = max(1, min(per_crop,
-                                  -(-self.STEP_PROMPT_BUDGET // n_crops)))
+                                  self.cfg.step_prompt_budget // n_crops))
         key = (n_points_side, per_crop, n_crops)
         if key not in self._crop_fn_cache:
             self._crop_fn_cache[key] = self._build_layer_fn(
@@ -227,6 +303,116 @@ class AutomaticMaskGenerator:
         decode_bb = {"vision_features": backbone["vision_features"],
                      "backbone_fpn": list(backbone["backbone_fpn"])}
         return self._crop_fn_cache[key](self.params, decode_bb)
+
+    # ------------------------------------------------------------------
+    # Finalize: cross-crop NMS + top-K + paste, all one device program
+    # ------------------------------------------------------------------
+
+    def _build_finalize_fn(self, layer_shapes, h: int, w: int, k_out: int,
+                           multi_crop: bool):
+        """layer_shapes: tuple of (n_crops, cap) per layer."""
+        cfg = self.cfg
+        model_size = self.model.config.image_size
+        lowres = model_size // 4
+
+        def finalize(bufs, crop_params):
+            ious, stabs, valids, boxes_i, pts_i, careas = [], [], [], [], [], []
+            for buf, cp, (c, cap) in zip(bufs, crop_params, layer_shapes):
+                x0, y0 = cp[:, 0:1], cp[:, 1:2]                # (C,1)
+                cw, ch = cp[:, 2:3], cp[:, 3:4]
+                sx, sy = cw / lowres, ch / lowres
+                scale = jnp.concatenate([sx, sy, sx, sy], 1)[:, None, :]
+                shift = jnp.concatenate([x0, y0, x0, y0], 1)[:, None, :]
+                bimg = buf["boxes"] * scale + shift            # (C, cap, 4)
+                # torch AMG is_box_near_crop_edge (atol=20): drop candidates
+                # truncated at an interior crop boundary — they would
+                # otherwise survive NMS with the 1/crop_area score
+                # preferring small crops.
+                crop_arr = jnp.concatenate([x0, y0, x0 + cw, y0 + ch], 1)[:, None, :]
+                orig_arr = jnp.asarray([0.0, 0.0, w, h])[None, None, :]
+                near_crop = jnp.abs(bimg - crop_arr) <= 20.0
+                near_img = jnp.abs(bimg - orig_arr) <= 20.0
+                inner = ~jnp.any(near_crop & ~near_img, axis=-1)
+                pts = (buf["points"]
+                       * jnp.concatenate([cw, ch], 1)[:, None, :] / model_size
+                       + jnp.concatenate([x0, y0], 1)[:, None, :])
+                ious.append(buf["iou"].reshape(-1))
+                stabs.append(buf["stability"].reshape(-1))
+                valids.append((buf["valid"] & inner).reshape(-1))
+                boxes_i.append(bimg.reshape(-1, 4))
+                pts_i.append(pts.reshape(-1, 2))
+                careas.append(jnp.broadcast_to(cw * ch, (c, cap)).reshape(-1))
+
+            iou = jnp.concatenate(ious)
+            stab = jnp.concatenate(stabs)
+            valid = jnp.concatenate(valids)
+            boxes = jnp.concatenate(boxes_i)
+            pts = jnp.concatenate(pts_i)
+            careas_all = jnp.concatenate(careas)
+
+            if multi_crop:
+                # cross-crop dedup preferring smaller crops (torch AMG)
+                keep = batched_nms(boxes, 1.0 / careas_all, valid,
+                                   cfg.box_nms_thresh)
+                valid &= keep
+
+            score = jnp.where(valid, iou, -jnp.inf)
+            sel = jnp.argsort(-score)[:k_out]                  # (K,)
+            sel_valid = valid[sel]
+
+            # gather selected low-res masks + crop params layer by layer
+            masks_sel = jnp.zeros((k_out, lowres, lowres), jnp.float32)
+            cp_sel = jnp.zeros((k_out, 4), jnp.float32)
+            crop_id = jnp.zeros((k_out,), jnp.int32)
+            off = 0
+            crop_off = 0
+            for buf, cp, (c, cap) in zip(bufs, crop_params, layer_shapes):
+                n_l = c * cap
+                local = jnp.clip(sel - off, 0, n_l - 1)
+                in_l = (sel >= off) & (sel < off + n_l)
+                g = buf["masks"].reshape(n_l, lowres, lowres)[local]
+                masks_sel = jnp.where(in_l[:, None, None], g, masks_sel)
+                cidx = local // cap                            # (K,) in [0,C)
+                cp_g = cp[:, :4][cidx]
+                cp_sel = jnp.where(in_l[:, None], cp_g, cp_sel)
+                crop_id = jnp.where(in_l, cidx + crop_off, crop_id)
+                off += n_l
+                crop_off += c
+
+            # paste chunks: upscale + place, threshold, box/area, packbits
+            k_pad = ((k_out + _PASTE_CHUNK - 1) // _PASTE_CHUNK) * _PASTE_CHUNK
+            pad = k_pad - k_out
+
+            def padk(a):
+                return jnp.concatenate(
+                    [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], 0) if pad else a
+
+            m_p = padk(masks_sel).reshape(-1, _PASTE_CHUNK, lowres, lowres)
+            cp_p = padk(cp_sel).reshape(-1, _PASTE_CHUNK, 4)
+            v_p = padk(sel_valid).reshape(-1, _PASTE_CHUNK)
+
+            def paste_chunk(inp):
+                m, cp, v = inp
+                logits = jax.vmap(_paste_one, in_axes=(0, 0, None, None))(
+                    m, cp, h, w)
+                seg = (logits > MASK_THRESHOLD) & v[:, None, None]
+                bx = batched_mask_to_box(seg)
+                area = jnp.sum(seg, axis=(1, 2), dtype=jnp.int32)
+                packed = jnp.packbits(seg, axis=-1)
+                return packed, bx, area
+
+            packed, bx, area = jax.lax.map(paste_chunk, (m_p, cp_p, v_p))
+            packed = packed.reshape(k_pad, h, -1)[:k_out]
+            bx = bx.reshape(k_pad, 4)[:k_out]
+            area = area.reshape(k_pad)[:k_out]
+            sel_valid &= area > 0
+            return {
+                "packed": packed, "boxes": bx, "area": area,
+                "iou": iou[sel], "stability": stab[sel],
+                "points": pts[sel], "crop_id": crop_id, "valid": sel_valid,
+            }
+
+        return jax.jit(finalize)
 
     # ------------------------------------------------------------------
     # Host orchestration
@@ -247,7 +433,6 @@ class AutomaticMaskGenerator:
             image = np.repeat(image[..., None], 3, axis=2)
         h, w = image.shape[:2]
         model_size = self.model.config.image_size
-        lowres = model_size // 4
 
         crop_boxes, layer_idxs = generate_crop_boxes(
             (h, w), cfg.crop_n_layers, cfg.crop_overlap_ratio)
@@ -260,12 +445,12 @@ class AutomaticMaskGenerator:
             by_layer.setdefault(layer, []).append(ci)
 
         img_dev = jnp.asarray(image, jnp.float32)   # one upload, reused
-        all_data: List[Dict[str, np.ndarray]] = []
+        bufs, crop_params, layer_shapes = [], [], []
+        crop_order: List[int] = []                  # finalize crop_id → box
         for layer, cids in sorted(by_layer.items()):
-            # crop + resize + normalize stay ON DEVICE: the previous
-            # np.asarray round trip per crop cost 21 blocking transfers
-            # (~0.5 GB) per image on the TPU relay — ~65 of the 75 s AMG
-            # wall clock
+            # crop + resize + normalize stay ON DEVICE: a np.asarray round
+            # trip per crop cost 21 blocking transfers per image on the
+            # TPU relay
             resized = jnp.stack([
                 jax.image.resize(img_dev[c[1]:c[3], c[0]:c[2]],
                                  (model_size, model_size, 3),
@@ -276,99 +461,42 @@ class AutomaticMaskGenerator:
             bb = self._encode(resized)
             n_side = max(1, cfg.npoints
                          // (cfg.crop_n_points_downscale_factor ** layer))
-            layer_buf = jax.tree.map(
-                np.asarray, self._run_layer(bb, n_side, len(cids)))
+            buf = self._run_layer(bb, n_side, len(cids))
+            bufs.append(buf)
+            cp = np.array([[crop_boxes[i][0], crop_boxes[i][1],
+                            crop_boxes[i][2] - crop_boxes[i][0],
+                            crop_boxes[i][3] - crop_boxes[i][1]]
+                           for i in cids], np.float32)
+            crop_params.append(jnp.asarray(cp))
+            layer_shapes.append((len(cids), int(buf["iou"].shape[1])))
+            crop_order.extend(cids)
 
-            for k, ci in enumerate(cids):
-                buf = jax.tree.map(lambda a, k=k: a[k], layer_buf)
-                crop_box = crop_boxes[ci]
-                x0, y0, x1, y1 = crop_box
-                ch, cw = y1 - y0, x1 - x0
+        n_tot = sum(c * cap for c, cap in layer_shapes)
+        k_out = min(cfg.max_masks, n_tot)
+        fkey = (tuple(layer_shapes), h, w, k_out)
+        if fkey not in self._finalize_cache:
+            self._finalize_cache[fkey] = self._build_finalize_fn(
+                tuple(layer_shapes), h, w, k_out, len(crop_boxes) > 1)
+        res = jax.tree.map(np.asarray,
+                           self._finalize_cache[fkey](bufs, crop_params))
 
-                keep = buf["valid"]
-                if not keep.any():
-                    continue
-                idx = np.nonzero(keep)[0]
-                # scale low-res boxes/points back to image frame
-                sx, sy = cw / lowres, ch / lowres
-                boxes = buf["boxes"][idx] * np.array([sx, sy, sx, sy], np.float32)
-                boxes += np.array([x0, y0, x0, y0], np.float32)
-                # torch AMG is_box_near_crop_edge (atol=20): drop candidates
-                # truncated at an interior crop boundary — they would
-                # otherwise survive NMS with the 1/crop_area score
-                # preferring small crops.
-                crop_arr = np.array([x0, y0, x1, y1], np.float32)
-                orig_arr = np.array([0, 0, w, h], np.float32)
-                near_crop = np.abs(boxes - crop_arr) <= 20.0
-                near_img = np.abs(boxes - orig_arr) <= 20.0
-                inner = ~np.any(near_crop & ~near_img, axis=1)
-                if not inner.any():
-                    continue
-                idx, boxes = idx[inner], boxes[inner]
-                pts = buf["points"][idx] * np.array(
-                    [cw / model_size, ch / model_size], np.float32)
-                pts += np.array([x0, y0], np.float32)
-                all_data.append({
-                    "masks_lowres": buf["masks"][idx],
-                    "iou": buf["iou"][idx],
-                    "stability": buf["stability"][idx],
-                    "boxes": boxes,
-                    "points": pts,
-                    "crop_box": np.array(crop_box, np.float32),
-                    "crop_hw": (ch, cw),
-                })
-
-        if not all_data:
-            return []
-
-        # cross-crop NMS preferring smaller crops (torch AMG semantics)
-        boxes = np.concatenate([d["boxes"] for d in all_data])
-        crop_areas = np.concatenate([
-            np.full(len(d["iou"]),
-                    (d["crop_box"][2] - d["crop_box"][0])
-                    * (d["crop_box"][3] - d["crop_box"][1]))
-            for d in all_data])
-        if len(all_data) > 1:
-            scores = 1.0 / crop_areas
-            keep = np.asarray(batched_nms(
-                jnp.asarray(boxes), jnp.asarray(scores),
-                jnp.ones((len(boxes),), bool), cfg.box_nms_thresh))
-        else:
-            keep = np.ones(len(boxes), bool)
-
-        # rasterize kept masks into full-res canvases
         out: List[Dict[str, Any]] = []
-        offset = 0
-        for d in all_data:
-            n = len(d["iou"])
-            kept = np.nonzero(keep[offset:offset + n])[0]
-            offset += n
-            if kept.size == 0:
+        for j in range(k_out):
+            if not res["valid"][j]:
                 continue
-            ch, cw = d["crop_hw"]
-            x0, y0 = int(d["crop_box"][0]), int(d["crop_box"][1])
-            up = np.asarray(jax.image.resize(
-                jnp.asarray(d["masks_lowres"][kept]),
-                (kept.size, ch, cw), method="bilinear"))
-            # one batched paste for all kept masks of the crop (was a
-            # per-mask Python loop with a fresh full canvas each)
-            segs = np.zeros((kept.size, h, w), bool)
-            segs[:, y0:y0 + ch, x0:x0 + cw] = up > MASK_THRESHOLD
-            areas = segs.sum(axis=(1, 2))
-            for j, i in enumerate(kept):
-                if areas[j] == 0:
-                    continue
-                bx = d["boxes"][i]
-                out.append({
-                    "segmentation": segs[j],
-                    "area": int(areas[j]),
-                    "bbox": [float(bx[0]), float(bx[1]),
-                             float(bx[2] - bx[0]), float(bx[3] - bx[1])],
-                    "predicted_iou": float(d["iou"][i]),
-                    "point_coords": [d["points"][i].tolist()],
-                    "stability_score": float(d["stability"][i]),
-                    "crop_box": d["crop_box"].tolist(),
-                })
+            seg = np.unpackbits(res["packed"][j], axis=-1, count=w).astype(bool)
+            bx = res["boxes"][j]
+            out.append({
+                "segmentation": seg,
+                "area": int(res["area"][j]),
+                "bbox": [float(bx[0]), float(bx[1]),
+                         float(bx[2] - bx[0]), float(bx[3] - bx[1])],
+                "predicted_iou": float(res["iou"][j]),
+                "point_coords": [res["points"][j].tolist()],
+                "stability_score": float(res["stability"][j]),
+                "crop_box": [float(v) for v in
+                             crop_boxes[crop_order[int(res["crop_id"][j])]]],
+            })
 
         out = self._apply_filters(out, h, w)
         out.sort(key=lambda m: m["predicted_iou"], reverse=True)

@@ -43,6 +43,11 @@ class AMGConfig(BaseModel):
     # mask-dict list returned at the API boundary is trimmed to the valid set.
     max_masks: int = Field(gt=0, default=256)
     crop_overlap_ratio: float = Field(default=512 / 1500)
+    # TPU-specific: total prompts decoded per scan step across a layer's
+    # batched crops (per-crop chunk = budget // n_crops, still capped by
+    # points_per_batch). 1024 keeps the 16-crop layer at 64 prompts/crop;
+    # lower it if decode intermediates exceed HBM on small chips.
+    step_prompt_budget: int = Field(gt=0, default=1024)
 
     @field_validator("sam2_cfg")
     @classmethod

@@ -209,7 +209,7 @@ class VideoCore:
 
     @partial(jax.jit, static_argnums=0)
     def step(self, params, state: PropagationState, frame, frame_idx,
-             tpos_sign, span=None):
+             tpos_sign, span=None, frame_valid=None):
         """Track all objects through one frame.
 
         frame: dict(vision (fs,fs,256), fpn0, fpn1) for ONE frame (no batch
@@ -221,6 +221,10 @@ class VideoCore:
         direction (and within ``span`` frames of it, if given). Inactive
         objects neither write memory nor emit masks — this is what lets
         objects seeded at different frames share one scan.
+
+        frame_valid: optional traced bool — False marks a padding frame
+        (chunk-aligned scans over a whole direction); it deactivates every
+        object so padding never pollutes the memory ring.
         """
         from saber_tpu.models.position_encoding import position_embedding_sine
 
@@ -274,6 +278,8 @@ class VideoCore:
         active = state.obj_valid & (rel >= 1.0)                 # (B,)
         if span is not None:
             active = active & (rel <= jnp.asarray(span, jnp.float32))
+        if frame_valid is not None:
+            active = active & frame_valid
 
         def gate(shifted, old):
             """Ring-shift only for active objects (axis 1 = B)."""
@@ -309,16 +315,25 @@ class VideoCore:
 
     @partial(jax.jit, static_argnums=0)
     def propagate_slab(self, params, state: PropagationState, frames,
-                       frame_indices: jnp.ndarray, tpos_sign, span=None):
+                       frame_indices: jnp.ndarray, tpos_sign, span=None,
+                       frame_valid=None):
         """Scan ``step`` over a slab of precomputed frame features.
 
         frames: ``slab_frames`` dict with leading frame axis F.
         frame_indices: (F,) absolute frame indices in scan order.
         span: optional max tracking distance from each object's cond frame.
+        frame_valid: optional (F,) bool; False = padding frame (ignored).
         Returns (state, (low_logits (F,B,low,low), obj_scores (F,B,1))).
         """
-        def body(st, inp):
-            frame, fidx = inp
-            return self.step(params, st, frame, fidx, tpos_sign, span)
+        if frame_valid is None:
+            def body(st, inp):
+                frame, fidx = inp
+                return self.step(params, st, frame, fidx, tpos_sign, span)
 
-        return jax.lax.scan(body, state, (frames, frame_indices))
+            return jax.lax.scan(body, state, (frames, frame_indices))
+
+        def body(st, inp):
+            frame, fidx, fv = inp
+            return self.step(params, st, frame, fidx, tpos_sign, span, fv)
+
+        return jax.lax.scan(body, state, (frames, frame_indices, frame_valid))

@@ -5,10 +5,13 @@ use synthetic inputs, adapters/sam3/tests/test_tomogram_predictor.py) —
 assertions target pipeline mechanics, not mask quality.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from saber_tpu.amg import AutomaticMaskGenerator, build_amg, generate_crop_boxes
+from saber_tpu.amg import (AutomaticMaskGenerator, _paste_one, build_amg,
+                           generate_crop_boxes)
 from saber_tpu.config import AMGConfig
 from saber_tpu.models.sam2 import build_sam2
 
@@ -81,6 +84,23 @@ def test_amg_crop_layers(tiny, rng):
     # crop boxes recorded per candidate
     for m in masks:
         assert len(m["crop_box"]) == 4
+
+
+@pytest.mark.parametrize("crop", [(0, 0, 100, 80), (7, 13, 53, 41),
+                                  (60, 40, 40, 40)])
+def test_paste_one_matches_resize_and_paste(crop, rng):
+    """The matmul-form warp paste must equal bilinear-resize + placement
+    (what torch AMG does: F.interpolate to crop size, threshold, uncrop)."""
+    h, w, low = 80, 100, 16
+    x0, y0, cw, ch = crop
+    mask = rng.standard_normal((low, low)).astype(np.float32)
+    want = np.zeros((h, w), np.float32)
+    up = np.asarray(jax.image.resize(jnp.asarray(mask), (ch, cw),
+                                     method="linear"))
+    want[y0:y0 + ch, x0:x0 + cw] = up
+    got = np.asarray(_paste_one(
+        jnp.asarray(mask), jnp.asarray([x0, y0, cw, ch], jnp.float32), h, w))
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_amg_filters(tiny, rng):

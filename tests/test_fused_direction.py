@@ -1,0 +1,133 @@
+"""Fused whole-direction propagation: parity with the chunked dispatch
+path, host label expansion exactness, and deep reset semantics.
+
+The fused path (sam2_adapter._direction_program) folds gather → slab
+preprocess → encoder → tracking scan → low-res paint into one jitted
+program per direction; these tests pin it to the legacy per-chunk path
+(still used for mesh-sharded encodes and host-offloaded volumes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from saber_tpu.adapters.sam2_adapter import SAM2Adapter, _expand_labels
+from saber_tpu.config import AMGConfig, SAM2AdapterConfig
+
+IMG = 128
+
+
+@pytest.fixture(scope="module")
+def adapter():
+    cfg = SAM2AdapterConfig(cfg="tiny", image_size=IMG, dtype="float32")
+    return SAM2Adapter(cfg, encode_chunk=4)
+
+
+def _volume(rng, z=6, h=40, w=48):
+    vol = rng.standard_normal((z, h, w)).astype(np.float32) * 0.1
+    vol[1:5, 10:30, 12:36] += 2.0
+    return vol
+
+
+def _seed_mask(h=40, w=48):
+    m = np.zeros((h, w), np.float32)
+    m[10:30, 12:36] = 1.0
+    return m
+
+
+@pytest.mark.parametrize("shape", [(32, 128), (256, 511), (7, 129), (64, 40)])
+def test_expand_labels_matches_jax_nearest(shape):
+    lin, lout = shape
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 5, size=(2, lin, lin)).astype(np.uint16)
+    want = np.asarray(jax.image.resize(
+        jnp.asarray(labels, jnp.float32), (2, lout, lout),
+        method="nearest")).astype(np.uint16)
+    got = _expand_labels(labels, lout, lout)
+    assert np.array_equal(got, want)
+
+
+def test_fused_matches_chunked_segment_volume(adapter, rng):
+    vol = _volume(rng)
+    mask = _seed_mask()
+
+    adapter.set_volume(vol)  # device-resident → fused path
+    assert adapter._use_fused_direction(adapter.inference_state)
+    fused = adapter.segment_volume(start_frame_idx=3, masks=[mask],
+                                   min_presence_score=0.0)
+    adapter.reset_state()
+
+    adapter.set_volume(vol, offload_video_to_cpu=True)  # numpy → legacy path
+    assert not adapter._use_fused_direction(adapter.inference_state)
+    chunked = adapter.segment_volume(start_frame_idx=3, masks=[mask],
+                                     min_presence_score=0.0)
+    adapter.reset_state()
+
+    assert fused.shape == chunked.shape == vol.shape
+    assert fused.dtype == np.uint16
+    # identical math in a different program structure → identical labels
+    assert np.array_equal(fused, chunked)
+    assert fused.max() >= 1  # the object actually propagated
+
+
+def test_fused_matches_chunked_multi_seed(adapter, rng):
+    vol = _volume(rng, z=7)
+    mask = _seed_mask()
+
+    adapter.set_volume(vol)
+    fused = adapter.segment_volume_multi_seed(
+        {2: [mask], 5: [mask]}, min_presence_score=0.0)
+    adapter.reset_state()
+
+    adapter.set_volume(vol, offload_video_to_cpu=True)
+    chunked = adapter.segment_volume_multi_seed(
+        {2: [mask], 5: [mask]}, min_presence_score=0.0)
+    adapter.reset_state()
+
+    assert np.array_equal(fused, chunked)
+
+
+def test_segment_volume_uneven_chunk_tail(adapter, rng):
+    """Direction length not a multiple of encode_chunk: padding frames
+    must not pollute the memory ring or the output."""
+    vol = _volume(rng, z=9)          # fwd: 5 frames, bwd: 3 → both ragged
+    adapter.set_volume(vol)
+    out = adapter.segment_volume(start_frame_idx=3, masks=[_seed_mask()],
+                                 min_presence_score=0.0)
+    adapter.reset_state()
+    assert out.shape == vol.shape
+    assert set(np.unique(out)) <= {0, 1}
+
+
+def test_reset_state_deep(adapter, rng):
+    vol = _volume(rng)
+    adapter.set_volume(vol)
+    adapter.add_new_mask(3, 1, _seed_mask())
+    adapter.reset_state()
+    assert adapter.inference_state["seeds"] == {}
+    assert adapter.inference_state is not None     # shallow by default
+    adapter.reset_state(clear_volume=True, clear_mask_generator=True)
+    assert adapter.inference_state is None
+    assert adapter._mask_generator is None
+
+
+def test_amg_config_switch_rebuilds_generator(rng):
+    cfg_a = AMGConfig(npoints=2, points_per_batch=4, pred_iou_thresh=0.01,
+                      stability_score_thresh=0.0, crop_n_layers=0,
+                      use_m2m=False, max_masks=8)
+    adapter = SAM2Adapter(
+        SAM2AdapterConfig(cfg="tiny", image_size=IMG, dtype="float32",
+                          amg_cfg=cfg_a))
+    img = rng.random((IMG, IMG)).astype(np.float32)
+    adapter.segment_image_2d(img)
+    gen_a = adapter._mask_generator
+    adapter.segment_image_2d(img)
+    assert adapter._mask_generator is gen_a        # unchanged config reused
+
+    adapter._config.amg_cfg = AMGConfig(
+        npoints=3, points_per_batch=4, pred_iou_thresh=0.01,
+        stability_score_thresh=0.0, crop_n_layers=0, use_m2m=False,
+        max_masks=8)
+    adapter.segment_image_2d(img)
+    assert adapter._mask_generator is not gen_a    # config switch → rebuild
+    assert adapter._mask_generator.cfg.npoints == 3
