@@ -69,45 +69,11 @@ def _attn_ds(sd, prefix):
             for name in ("q_proj", "k_proj", "v_proj", "out_proj")}
 
 
-def convert_torch_state_dict(sd: Dict[str, Any], model) -> Dict[str, Any]:
-    """Map an official SAM2.1 state dict onto the SAM2 Flax param tree."""
-    cfg = model.config
+def _convert_tracker_heads(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Prompt encoder + mask decoder + memory attention/encoder + video
+    params — the SAM tracker heads shared verbatim between the SAM2 and
+    SAM3 model trees (models/sam2.py ``_setup_sam_heads``)."""
     p: Dict[str, Any] = {}
-
-    # ------------------------------------------------------------- trunk
-    trunk: Dict[str, Any] = {}
-    trunk["patch_embed"] = {"proj": _conv(sd, "image_encoder.trunk.patch_embed.proj")}
-    trunk["pos_embed"] = _t(sd["image_encoder.trunk.pos_embed"]).transpose(0, 2, 3, 1)
-    trunk["pos_embed_window"] = _t(
-        sd["image_encoder.trunk.pos_embed_window"]).transpose(0, 2, 3, 1)
-
-    depth = sum(cfg.stages)
-    for i in range(depth):
-        tb = f"image_encoder.trunk.blocks.{i}"
-        blk = {
-            "norm1": _ln(sd, f"{tb}.norm1"),
-            "norm2": _ln(sd, f"{tb}.norm2"),
-            "attn": {"qkv": _linear(sd, f"{tb}.attn.qkv"),
-                     "proj": _linear(sd, f"{tb}.attn.proj")},
-            "mlp_fc1": _linear(sd, f"{tb}.mlp.layers.0"),
-            "mlp_fc2": _linear(sd, f"{tb}.mlp.layers.1"),
-        }
-        if f"{tb}.proj.weight" in sd:  # stage transition shortcut projection
-            blk["proj"] = _linear(sd, f"{tb}.proj")
-        trunk[f"blocks_{i}"] = blk
-
-    # -------------------------------------------------------------- neck
-    # torch convs[j] maps to backbone level n-1-j (top-down construction)
-    neck: Dict[str, Any] = {}
-    n_levels = len(cfg.stages)
-    for j in range(n_levels):
-        neck[f"convs_{n_levels - 1 - j}"] = _conv(
-            sd, f"image_encoder.neck.convs.{j}.conv")
-
-    # trunk/neck are constructed in SAM2.setup, so they are direct children
-    # of the SAM2 scope (flax linen naming), not nested under image_encoder
-    p["trunk"] = trunk
-    p["neck"] = neck
 
     # ----------------------------------------------------- prompt encoder
     pe = {
@@ -216,6 +182,50 @@ def convert_torch_state_dict(sd: Dict[str, Any], model) -> Dict[str, Any]:
     return p
 
 
+def convert_torch_state_dict(sd: Dict[str, Any], model) -> Dict[str, Any]:
+    """Map an official SAM2.1 state dict onto the SAM2 Flax param tree."""
+    cfg = model.config
+    p: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------- trunk
+    trunk: Dict[str, Any] = {}
+    trunk["patch_embed"] = {"proj": _conv(sd, "image_encoder.trunk.patch_embed.proj")}
+    trunk["pos_embed"] = _t(sd["image_encoder.trunk.pos_embed"]).transpose(0, 2, 3, 1)
+    trunk["pos_embed_window"] = _t(
+        sd["image_encoder.trunk.pos_embed_window"]).transpose(0, 2, 3, 1)
+
+    depth = sum(cfg.stages)
+    for i in range(depth):
+        tb = f"image_encoder.trunk.blocks.{i}"
+        blk = {
+            "norm1": _ln(sd, f"{tb}.norm1"),
+            "norm2": _ln(sd, f"{tb}.norm2"),
+            "attn": {"qkv": _linear(sd, f"{tb}.attn.qkv"),
+                     "proj": _linear(sd, f"{tb}.attn.proj")},
+            "mlp_fc1": _linear(sd, f"{tb}.mlp.layers.0"),
+            "mlp_fc2": _linear(sd, f"{tb}.mlp.layers.1"),
+        }
+        if f"{tb}.proj.weight" in sd:  # stage transition shortcut projection
+            blk["proj"] = _linear(sd, f"{tb}.proj")
+        trunk[f"blocks_{i}"] = blk
+
+    # -------------------------------------------------------------- neck
+    # torch convs[j] maps to backbone level n-1-j (top-down construction)
+    neck: Dict[str, Any] = {}
+    n_levels = len(cfg.stages)
+    for j in range(n_levels):
+        neck[f"convs_{n_levels - 1 - j}"] = _conv(
+            sd, f"image_encoder.neck.convs.{j}.conv")
+
+    # trunk/neck are constructed in SAM2.setup, so they are direct children
+    # of the SAM2 scope (flax linen naming), not nested under image_encoder
+    p["trunk"] = trunk
+    p["neck"] = neck
+
+    p.update(_convert_tracker_heads(sd, cfg))
+    return p
+
+
 def expected_state_dict_shapes(model) -> Dict[str, Tuple[int, ...]]:
     """Key → shape of the torch state dict this converter consumes
     (documentation + synthetic-checkpoint tests)."""
@@ -258,6 +268,14 @@ def expected_state_dict_shapes(model) -> Dict[str, Tuple[int, ...]]:
         sd[f"image_encoder.neck.convs.{j}.conv.weight"] = (cfg.d_model, c, 1, 1)
         sd[f"image_encoder.neck.convs.{j}.conv.bias"] = (cfg.d_model,)
 
+    sd.update(_tracker_head_shapes(cfg))
+    return sd
+
+
+def _tracker_head_shapes(cfg) -> Dict[str, Tuple[int, ...]]:
+    """Expected shapes for the shared SAM tracker heads (see
+    ``_convert_tracker_heads``)."""
+    sd: Dict[str, Tuple[int, ...]] = {}
     d = cfg.d_model
     sd["sam_prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = (2, d // 2)
     for i in range(4):
@@ -389,14 +407,24 @@ def load_checkpoint(path: str, model):
         import jax
         from flax import serialization
         import jax.numpy as jnp
+        from saber_tpu.models.sam3 import SAM3
         dummy = jnp.zeros((1, model.config.image_size, model.config.image_size, 3))
-        pts = jnp.zeros((1, 1, 2))
-        lbl = jnp.ones((1, 1), jnp.int32)
-        template = model.init(jax.random.PRNGKey(0), dummy, pts, lbl)["params"]
+        if isinstance(model, SAM3):
+            toks = jnp.zeros((1, model.config.context_length), jnp.int32)
+            toks = toks.at[0, 0].set(1)
+            template = model.init(jax.random.PRNGKey(0), dummy, toks)["params"]
+        else:
+            pts = jnp.zeros((1, 1, 2))
+            lbl = jnp.ones((1, 1), jnp.int32)
+            template = model.init(jax.random.PRNGKey(0), dummy, pts, lbl)["params"]
         with open(path, "rb") as f:
             return serialization.from_bytes(template, f.read())
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     sd = ckpt.get("model", ckpt)
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    from saber_tpu.models.sam3 import SAM3
+    if isinstance(model, SAM3):
+        from saber_tpu.models.weights_sam3 import convert_sam3_state_dict
+        return convert_sam3_state_dict(sd, model)
     return convert_torch_state_dict(sd, model)
