@@ -114,13 +114,8 @@ def _decoder_layer(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
     return blk
 
 
-def convert_sam3_state_dict(sd: Dict[str, Any], model) -> Dict[str, Any]:
-    """Map a SAM3 state dict onto the SAM3 Flax param tree."""
-    cfg = model.config
-    sd = normalize_sam3_keys(sd)
-    p: Dict[str, Any] = {}
-
-    # ------------------------------------------------------- vision trunk
+def _convert_vision(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """vision_encoder.* → the ``vl_backbone`` subtree."""
     vb: Dict[str, Any] = {}
     vb["patch_embed"] = _conv(sd, "vision_encoder.patch_embed.proj")
     vb["pos_embed"] = _t(sd["vision_encoder.pos_embed"]).transpose(0, 2, 3, 1)
@@ -140,9 +135,11 @@ def convert_sam3_state_dict(sd: Dict[str, Any], model) -> Dict[str, Any]:
         w = _t(sd[f"vision_encoder.neck.{name}.weight"])  # (I, O, kh, kw)
         vb[name] = {"kernel": w.transpose(2, 3, 0, 1),
                     "bias": _t(sd[f"vision_encoder.neck.{name}.bias"])}
-    p["vl_backbone"] = vb
+    return vb
 
-    # --------------------------------------------------------- text tower
+
+def _convert_text(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """text_encoder.* → the ``text`` subtree."""
     tx: Dict[str, Any] = {}
     tx["token_embedding"] = {
         "embedding": _t(sd["text_encoder.token_embedding.weight"])}
@@ -151,9 +148,11 @@ def convert_sam3_state_dict(sd: Dict[str, Any], model) -> Dict[str, Any]:
         tx[f"blocks_{i}"] = _tblock(sd, f"text_encoder.blocks.{i}")
     tx["final_norm"] = _ln(sd, "text_encoder.final_norm")
     tx["text_proj"] = {"kernel": _t(sd["text_encoder.text_proj.weight"]).T}
-    p["text"] = tx
+    return tx
 
-    # ----------------------------------------------------------- detector
+
+def _convert_detector(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """detector.* → the ``detector`` subtree."""
     det: Dict[str, Any] = {}
     for i in range(cfg.fusion_layers):
         det[f"fusion_{i}"] = _fusion_layer(sd, f"detector.fusion.{i}")
@@ -168,9 +167,18 @@ def convert_sam3_state_dict(sd: Dict[str, Any], model) -> Dict[str, Any]:
     det["pixel_ln"] = _ln(sd, "detector.pixel_ln")
     det["pixel_conv2"] = _conv(sd, "detector.pixel_conv2")
     det["mask_embed"] = _mlp(sd, "detector.mask_embed", 3)
-    p["detector"] = det
+    return det
 
-    # ------------------------------------------------------ tracker heads
+
+def convert_sam3_state_dict(sd: Dict[str, Any], model) -> Dict[str, Any]:
+    """Map a SAM3 state dict onto the SAM3 Flax param tree."""
+    cfg = model.config
+    sd = normalize_sam3_keys(sd)
+    p: Dict[str, Any] = {
+        "vl_backbone": _convert_vision(sd, cfg),
+        "text": _convert_text(sd, cfg),
+        "detector": _convert_detector(sd, cfg),
+    }
     p.update(_convert_tracker_heads(sd, cfg))
     return p
 
