@@ -198,12 +198,14 @@ class SAM3ImageEncoder(nn.Module):
 
         # /16 (the SAM image embedding), /8 and /4 via transposed convs
         p16 = head(x, "p16")
+        # transpose_kernel=True so torch ConvTranspose2d weights convert
+        # with the same verified _convT rule as the SAM2 decoder upscaler
         u8 = nn.ConvTranspose(c // 2, (2, 2), strides=(2, 2), dtype=dt,
-                              name="up8")(x)
+                              transpose_kernel=True, name="up8")(x)
         p8 = head(u8, "p8")
         u4 = nn.gelu(u8, approximate=False)
         u4 = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2), dtype=dt,
-                              name="up4")(u4)
+                              transpose_kernel=True, name="up4")(u4)
         p4 = head(u4, "p4")
 
         outs = [p4, p8, p16]

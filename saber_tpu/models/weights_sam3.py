@@ -30,6 +30,7 @@ import numpy as np
 from saber_tpu.models.weights import (
     _attn_ds,
     _conv,
+    _convT,
     _convert_tracker_heads,
     _linear,
     _ln,
@@ -132,9 +133,7 @@ def _convert_vision(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         vb[f"{lvl}_out"] = {"kernel": out["kernel"]}
         vb[f"{lvl}_ln2"] = _ln(sd, f"vision_encoder.neck.{lvl}.ln2")
     for name in ("up8", "up4"):
-        w = _t(sd[f"vision_encoder.neck.{name}.weight"])  # (I, O, kh, kw)
-        vb[name] = {"kernel": w.transpose(2, 3, 0, 1),
-                    "bias": _t(sd[f"vision_encoder.neck.{name}.bias"])}
+        vb[name] = _convT(sd, f"vision_encoder.neck.{name}")
     return vb
 
 
