@@ -284,6 +284,7 @@ class TorchMaskDecoder(tnn.Module):
 
         iou_token_out = hs[:, 1]
         mask_tokens_out = hs[:, 2:6]
+        self.last_tokens = mask_tokens_out  # for obj-ptr composition tests
 
         src_img = keys.permute(0, 2, 1).reshape(b, c, h, w)
         feat_s0, feat_s1 = high_res_features
