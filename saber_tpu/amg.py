@@ -24,10 +24,13 @@ pipeline (SURVEY.md §7.3):
   (the round-2 pipeline shipped ~1.1 GB of candidate buffers per image,
   which WAS the 75 s AMG wall clock on the TPU relay).
 
-Output boxes and areas are computed from the full-resolution pasted
-masks (torch AMG parity); stability scores still come from the 256²
-low-res logits (documented deviation, identical up to interpolation at
-the 0-threshold).
+Output boxes, areas AND stability scores are computed at full resolution
+(torch AMG parity): stability upscales the 256² logits with two MXU
+matmuls per mask and keeps only the two threshold counts
+(ops/amg_utils.py calculate_stability_score_fullres). The cheaper
+low-res scoring survives behind ``AMGConfig.stability_fullres=False``;
+its deviation (up to ~0.2 near the 0.92 gate on small masks) is
+quantified in tests/test_amg_golden.py.
 
 The public surface is ``AutomaticMaskGenerator.generate(image) ->
 List[mask dict]`` with the reference's mask-dict schema plus the
@@ -49,6 +52,7 @@ from saber_tpu.ops.amg_utils import (
     batched_nms,
     build_point_grid,
     calculate_stability_score,
+    calculate_stability_score_fullres,
 )
 
 MASK_THRESHOLD = 0.0
@@ -145,6 +149,18 @@ class AutomaticMaskGenerator:
     # Device pipeline
     # ------------------------------------------------------------------
 
+    def _stability(self, mask_logits: jnp.ndarray) -> jnp.ndarray:
+        """Stability scores with torch AMG semantics (full-res upscale)
+        by default; ``cfg.stability_fullres=False`` keeps the cheaper
+        low-res scoring (deviation quantified in tests/test_amg_golden.py)."""
+        cfg = self.cfg
+        if cfg.stability_fullres:
+            return calculate_stability_score_fullres(
+                mask_logits, self.model.config.image_size,
+                MASK_THRESHOLD, cfg.stability_score_offset)
+        return calculate_stability_score(
+            mask_logits, MASK_THRESHOLD, cfg.stability_score_offset)
+
     def _decode_chunk(self, params, backbone_b, points):
         """First-pass decode: points (P, 2) → P·k multimask candidates.
 
@@ -169,8 +185,7 @@ class AutomaticMaskGenerator:
         if cfg.use_m2m:
             stability = jnp.zeros_like(flat_iou)  # filled post-refine
         else:
-            stability = calculate_stability_score(
-                flat_masks, MASK_THRESHOLD, cfg.stability_score_offset)
+            stability = self._stability(flat_masks)
             valid &= stability >= cfg.stability_score_thresh
             valid &= jnp.any(flat_masks > MASK_THRESHOLD, axis=(-2, -1))
         return {
@@ -216,8 +231,7 @@ class AutomaticMaskGenerator:
         masks_r = masks_r.reshape(rcap, *masks_r.shape[2:])[:cap]
         iou_r = iou_r.reshape(rcap)[:cap]
 
-        stability = calculate_stability_score(
-            masks_r, MASK_THRESHOLD, cfg.stability_score_offset)
+        stability = self._stability(masks_r)
         valid = buf["valid"] & (stability >= cfg.stability_score_thresh)
         valid &= jnp.any(masks_r > MASK_THRESHOLD, axis=(-2, -1))
         return {"masks": masks_r, "iou": iou_r, "stability": stability,

@@ -48,6 +48,11 @@ class AMGConfig(BaseModel):
     # points_per_batch). 1024 keeps the 16-crop layer at 64 prompts/crop;
     # lower it if decode intermediates exceed HBM on small chips.
     step_prompt_budget: int = Field(gt=0, default=1024)
+    # Score stability on bilinear-upscaled full-resolution logits (torch
+    # AMG semantics; two extra MXU matmuls per mask) instead of the 256²
+    # decoder logits. The low-res shortcut deviates by up to ~0.2 near the
+    # 0.92 gate on small masks (tests/test_amg_golden.py).
+    stability_fullres: bool = Field(default=True)
 
     @field_validator("sam2_cfg")
     @classmethod

@@ -63,7 +63,8 @@ class SimpleTokenizer:
         if bpe_path and os.path.exists(bpe_path):
             with gzip.open(bpe_path, "rt", encoding="utf8") as f:
                 lines = f.read().split("\n")[1: 49152 - 256 - 2 + 1]
-            merges = [tuple(m.split()) for m in lines]
+            merges = [tuple(p) for p in (m.split() for m in lines)
+                      if len(p) == 2]
         self._has_merges = bool(merges)
 
         vocab = list(bytes_to_unicode().values())
@@ -76,11 +77,18 @@ class SimpleTokenizer:
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.cache = {"<|startoftext|>": "<|startoftext|>",
                       "<|endoftext|>": "<|endoftext|>"}
-        # CLIP's pattern uses \p{L}/\p{N} (regex module); the stdlib-safe
-        # ASCII form below is equivalent for English prompts
-        self.pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-            r"""[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""", re.IGNORECASE)
+        # CLIP's exact pattern needs \p{L}/\p{N} from the third-party
+        # ``regex`` module; fall back to a stdlib ASCII form (equivalent
+        # for English prompts) when it's absent.
+        try:
+            import regex
+            self.pat = regex.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+                r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""", regex.IGNORECASE)
+        except ImportError:
+            self.pat = re.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+                r"""[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""", re.IGNORECASE)
 
     @property
     def sot_token(self):
@@ -134,7 +142,7 @@ class SimpleTokenizer:
     def encode(self, text: str) -> List[int]:
         tokens: List[int] = []
         text = _whitespace_clean(_basic_clean(text)).lower()
-        for token in re.findall(self.pat, text):
+        for token in self.pat.findall(text):
             token_b = "".join(self.byte_encoder[b]
                               for b in token.encode("utf-8"))
             tokens.extend(self.encoder[t] for t in self.bpe(token_b).split(" "))

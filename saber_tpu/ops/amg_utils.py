@@ -43,6 +43,57 @@ def calculate_stability_score(mask_logits: jnp.ndarray, mask_threshold: float,
     return jnp.where(lo > 0, hi / lo, 1.0)
 
 
+def bilinear_up_matrix(n_out: int, n_in: int) -> jnp.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix, align_corners=False.
+
+    Row i holds the two source weights for output sample i under the
+    half-pixel-center rule ``u = (i + 0.5) * n_in / n_out - 0.5`` with edge
+    clamping — the same convention as ``F.interpolate(mode='bilinear')``.
+    """
+    xi = jnp.arange(n_out, dtype=jnp.float32)
+    u = jnp.clip(xi * (n_in / n_out) + (0.5 * n_in / n_out - 0.5),
+                 0.0, n_in - 1.0)
+    return jnp.maximum(
+        0.0, 1.0 - jnp.abs(u[:, None] - jnp.arange(n_in, dtype=jnp.float32)))
+
+
+def calculate_stability_score_fullres(mask_logits: jnp.ndarray, out_size: int,
+                                      mask_threshold: float,
+                                      threshold_offset: float,
+                                      chunk: int = 32) -> jnp.ndarray:
+    """Stability score on the bilinear-upscaled full-resolution logits.
+
+    Torch AMG computes stability AFTER interpolating the 256² decoder
+    logits to image resolution (external SAM2AutomaticMaskGenerator
+    ``_process_batch``, built at saber/adapters/sam2/automask.py:66-78);
+    near the 0.92 gate the low-res and full-res scores can differ by up
+    to ~0.2 (tests/test_amg_golden.py pins the delta), so the pipeline
+    scores full-res by default. The upscale is two MXU matmuls per mask;
+    only the two threshold COUNTS survive, so the (chunk, out, out)
+    canvases never leave VMEM-friendly chunks (``lax.map``).
+    """
+    n, h, w = mask_logits.shape
+    a = bilinear_up_matrix(out_size, h)
+    pad = (-n) % chunk
+    padded = jnp.concatenate(
+        [mask_logits,
+         jnp.full((pad, h, w), -1e4, mask_logits.dtype)], 0) if pad \
+        else mask_logits
+
+    def counts(m):
+        up = jnp.einsum("Hh,khw->kHw", a, m.astype(jnp.float32))
+        up = jnp.einsum("Ww,kHw->kHW", a, up)
+        hi = jnp.sum(up > (mask_threshold + threshold_offset), axis=(-2, -1),
+                     dtype=jnp.float32)
+        lo = jnp.sum(up > (mask_threshold - threshold_offset), axis=(-2, -1),
+                     dtype=jnp.float32)
+        return hi, lo
+
+    hi, lo = jax.lax.map(counts, padded.reshape(-1, chunk, h, w))
+    hi, lo = hi.reshape(-1)[:n], lo.reshape(-1)[:n]
+    return jnp.where(lo > 0, hi / lo, 1.0)
+
+
 def box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     """(N,4) × (M,4) XYXY → (N,M) IoU."""
     area1 = jnp.clip(boxes1[:, 2] - boxes1[:, 0], 0) * jnp.clip(boxes1[:, 3] - boxes1[:, 1], 0)
