@@ -163,3 +163,28 @@ def test_sam2_family_classifier_trains(tmp_path, rng):
     probs = pred.batch_predict(img, masks, batchsize=2)
     assert probs.shape == (1, 2)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
+
+
+def test_sam3_family_classifier_trains(tmp_path, rng):
+    """Frozen-SAM3-VL-backbone classifier end to end (reference
+    classifier/models/SAM3.py:12-225): train one epoch on the test-sized
+    backbone, then Predictor reloads from model_config.yaml and scores
+    masks through the same frozen-backbone path."""
+    p = _make_training_zarr(tmp_path / "train.zarr", rng, n_runs=3)
+    from saber_tpu.classifier.datasets import ZarrSegmentationDataset, batch_iterator
+    ds = ZarrSegmentationDataset(p, TrainTransform(crop_size=64, seed=0))
+    trainer = ClassifierTrainer(
+        "SAM3", 2, sam3_cfg="test", num_epochs=1, use_ema=False,
+        results_dir=str(tmp_path / "res"), backbone_image_size=64)
+    hist = trainer.train(lambda: batch_iterator(ds, 4),
+                         labels={"1": "square"})
+    assert np.isfinite(hist["train_loss"][0])
+
+    pred = Predictor(str(tmp_path / "res"))
+    img = rng.standard_normal((96, 96)).astype(np.float32)
+    masks = np.zeros((2, 96, 96), np.uint8)
+    masks[0, 20:60, 20:60] = 1
+    masks[1, 10:30, 50:80] = 1
+    probs = pred.batch_predict(img, masks, batchsize=2)
+    assert probs.shape == (2, 2)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
