@@ -124,12 +124,44 @@ class RoPEAttention(nn.Module):
 
         side = int(round(tq**0.5))
         freqs = compute_axial_cis(head_dim, side, side, self.rope_theta)
-        qp, kp = apply_rotary_enc(qp, kp, freqs, repeat_freqs_k=self.rope_k_repeat,
-                                  num_k_exclude_rope=num_k_exclude_rope)
 
         import jax
-        if (tq >= 1024 and jax.default_backend() == "tpu"
-                and 32 <= head_dim <= 256 and head_dim % 8 == 0):
+        use_flash = (tq >= 1024 and jax.default_backend() == "tpu"
+                     and 32 <= head_dim <= 256 and head_dim % 8 == 0)
+        if use_flash and head_dim % 256 == 0:
+            # fused-RoPE flash path: rotation happens INSIDE the kernel on
+            # de-interleaved halves (ops/flash_attention.py module doc) —
+            # no rotated fp32 q/k copies ever hit HBM. The static channel
+            # permutation (pair (2i, 2i+1) → columns (i, D/2+i)) applies
+            # to q and ALL of k (scores are invariant to a shared
+            # permutation; v and the output stay untouched); pointer
+            # tokens keep identity rows (cos=1, sin=0) in the k table.
+            from saber_tpu.ops.flash_attention import flash_attention
+            half = head_dim // 2
+            perm = jnp.concatenate([jnp.arange(0, head_dim, 2),
+                                    jnp.arange(1, head_dim, 2)])
+            qp = jnp.take(qp, perm, axis=-1)
+            kp = jnp.take(kp, perm, axis=-1)
+            cos, sin = freqs                                  # (tq, D/2)
+            n_rope = tk - num_k_exclude_rope
+            r = n_rope // cos.shape[0] if self.rope_k_repeat else 1
+            ck = jnp.concatenate(
+                [jnp.tile(cos, (r, 1)),
+                 jnp.ones((tk - r * cos.shape[0], half), jnp.float32)])
+            sk = jnp.concatenate(
+                [jnp.tile(sin, (r, 1)),
+                 jnp.zeros((tk - r * cos.shape[0], half), jnp.float32)])
+            bias_vec = (attn_bias.reshape(b, tk) if attn_bias is not None
+                        else None)
+            out = flash_attention(qp, kp, vp, bias=bias_vec, block_k=2048,
+                                  rope_q=freqs, rope_k=(ck, sk))
+            out = out.reshape(b, tq, internal)
+            return nn.Dense(self.embedding_dim, dtype=self.dtype,
+                            name="out_proj")(out)
+
+        qp, kp = apply_rotary_enc(qp, kp, freqs, repeat_freqs_k=self.rope_k_repeat,
+                                  num_k_exclude_rope=num_k_exclude_rope)
+        if use_flash:
             # flash path: avoids materializing the (B, T, S) score matrix.
             # Block sizes tuned on v5e for the memory-cross shape
             # (T=4096, S~8.7k, D=64): 256/2048 measured 6.59 ms vs

@@ -10,6 +10,17 @@ VMEM keeping running max/sum statistics in fp32.
 Supports an additive key bias vector (used to mask invalid memory-bank
 slots / object-pointer tokens); sequence padding is folded into the same
 bias, so ragged lengths cost nothing extra.
+
+Optionally applies rotary position embeddings INSIDE the kernel
+(``rope_q``/``rope_k`` cos/sin tables) so the memory attention's axial
+RoPE never materializes rotated fp32 copies of q/k in HBM
+(models/memory.py). Tables use the DE-INTERLEAVED convention: the caller
+permutes the q/k projection weights so channel pairs (2i, 2i+1) live at
+columns (i, D/2+i); rotation is then two aligned half-lane slices
+(a·cos−b·sin, a·sin+b·cos) on the VPU, overlapped with the MXU matmuls.
+Attention scores are invariant to the shared permutation, and v is left
+unpermuted, so outputs are bit-identical to rotating outside. Token
+positions that must NOT rotate (object pointers) carry cos=1, sin=0 rows.
 """
 
 import functools
@@ -21,6 +32,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+
+
+def _rot_half(x, cos, sin):
+    """Rotate de-interleaved halves: x (N, D) with pair halves at
+    [:, :D/2] / [:, D/2:]; cos/sin (N, D/2) fp32. fp32 math, input-dtype
+    result — the same contract as position_encoding.apply_rotary_enc."""
+    h = x.shape[-1] // 2
+    a = x[:, :h].astype(jnp.float32)
+    b = x[:, h:].astype(jnp.float32)
+    return jnp.concatenate([a * cos - b * sin, a * sin + b * cos],
+                           axis=-1).astype(x.dtype)
 
 
 def _online_update(q, k, v, b, scale, acc, m_prev, l_prev):
@@ -92,6 +114,71 @@ def _flash_kernel_streamed(q_ref, k_ref, v_ref, bias_ref, o_ref,
                     / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_kernel_rope(q_ref, k_ref, v_ref, bias_ref, cq_ref, sq_ref,
+                       ck_ref, sk_ref, o_ref, *, block_k: int, seq_k: int,
+                       scale: float):
+    """Resident-KV variant with rotary embeddings fused in: the q block
+    and each streamed k slice rotate in VMEM (de-interleaved halves, see
+    module docstring) before the score matmul. v is never rotated."""
+    q = _rot_half(q_ref[0], cq_ref[:], sq_ref[:])     # (BQ, D)
+    bq = q.shape[0]
+    d_out = o_ref.shape[-1]
+    num_k = seq_k // block_k
+
+    def body(i, carry):
+        sl = pl.ds(i * block_k, block_k)
+        k = _rot_half(k_ref[0, sl, :], ck_ref[sl, :], sk_ref[sl, :])
+        v = v_ref[0, sl, :]
+        b = bias_ref[0, 0, sl].astype(jnp.float32)
+        return _online_update(q, k, v, b, scale, *carry)
+
+    acc0 = jnp.zeros((bq, d_out), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_kernel_streamed_rope(q_ref, k_ref, v_ref, bias_ref, cq_ref,
+                                sq_ref, ck_ref, sk_ref, o_ref, acc_ref,
+                                m_ref, l_ref, *, scale: float):
+    """Streamed-KV variant with fused rotary embeddings (k blocks arrive
+    through the innermost grid dim together with their table slices)."""
+    kblk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kblk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = _rot_half(q_ref[0], cq_ref[:], sq_ref[:])
+    k = _rot_half(k_ref[0], ck_ref[:], sk_ref[:])
+    b = bias_ref[0, 0].astype(jnp.float32)
+    acc, m, l = _online_update(q, k, v_ref[0], b, scale,
+                               acc_ref[:], m_ref[:], l_ref[:])
+    acc_ref[:] = acc
+    m_ref[:] = m
+    l_ref[:] = l
+
+    @pl.when(kblk == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[:]
+                    / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_table(tab, n_pad, is_cos):
+    """Pad a (n, D/2) rope table to n_pad rows (identity rotation)."""
+    pad = n_pad - tab.shape[0]
+    if pad <= 0:
+        return jnp.asarray(tab, jnp.float32)
+    fill = jnp.ones if is_cos else jnp.zeros
+    return jnp.concatenate(
+        [jnp.asarray(tab, jnp.float32),
+         fill((pad, tab.shape[1]), jnp.float32)], axis=0)
+
+
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -106,16 +193,27 @@ def _pad_to(x, size, axis):
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     bias: Optional[jnp.ndarray] = None,
                     block_q: int = 256, block_k: int = 512,
+                    rope_q=None, rope_k=None,
                     interpret: bool = False) -> jnp.ndarray:
     """Attention over (B, T, H, D) tensors; softmax in fp32.
 
     bias: optional (B, S) or (S,) additive key bias (e.g. -1e9 on masked
     memory slots). Ragged/padded sequences are handled by folding the pad
     mask into the bias.
+
+    rope_q / rope_k: optional (cos, sin) tables of shape (T, D/2) and
+    (S, D/2) applying rotary embeddings inside the kernel, in the
+    DE-INTERLEAVED half convention (module docstring). Requires
+    D % 256 == 0 so each half is a 128-lane-aligned slice; both must be
+    given together (q-only or k-only rotation is not a valid RoPE).
     """
     b, t, h, d = q.shape
     s = k.shape[1]
     scale = d**-0.5
+    use_rope = rope_q is not None
+    if use_rope:
+        assert rope_k is not None and d % 256 == 0, \
+            "rope needs both tables and D a multiple of 256"
 
     # fold heads into batch; pallas kernel is rank-2 per program
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, t, d)
@@ -141,37 +239,74 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # TPU block shapes need the 2nd-minor dim divisible by 8
     bias_f = jnp.broadcast_to(bias_f, (b * h, 8, s_pad))
 
+    dh = d // 2
+    if use_rope:
+        cq = _pad_table(rope_q[0], t_pad, True)
+        sq = _pad_table(rope_q[1], t_pad, False)
+        ck = _pad_table(rope_k[0], s_pad, True)
+        sk = _pad_table(rope_k[1], s_pad, False)
+
     # resident K/V is cheaper (fetched once per batch·head row) but only
     # legal when both padded K and V plus working set fit in VMEM. The
     # 10 MB budget keeps the default num_maskmem=2 memory bank
     # (S≈8.4k, D=256 → 8.65 MB) on the resident path; block_q·block_k
-    # logits and the q/out blocks fit in the remainder.
+    # logits and the q/out blocks fit in the remainder. Fused-rope k
+    # tables (fp32, resident alongside K/V) count against the budget.
     kv_bytes = 2 * s_pad * d * jnp.dtype(q.dtype).itemsize + 4 * s_pad * 8
+    if use_rope:
+        kv_bytes += 2 * s_pad * dh * 4
     if kv_bytes <= 10 * 2**20:
+        in_specs = [
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 8, s_pad), lambda i, j: (i, 0, 0)),
+        ]
+        operands = [qf, kf, vf, bias_f]
+        if use_rope:
+            kern = functools.partial(_flash_kernel_rope, block_k=block_k,
+                                     seq_k=s_pad, scale=scale)
+            in_specs += [
+                pl.BlockSpec((block_q, dh), lambda i, j: (j, 0)),
+                pl.BlockSpec((block_q, dh), lambda i, j: (j, 0)),
+                pl.BlockSpec((s_pad, dh), lambda i, j: (0, 0)),
+                pl.BlockSpec((s_pad, dh), lambda i, j: (0, 0)),
+            ]
+            operands += [cq, sq, ck, sk]
+        else:
+            kern = functools.partial(_flash_kernel, block_k=block_k,
+                                     seq_k=s_pad, scale=scale)
         out = pl.pallas_call(
-            functools.partial(_flash_kernel, block_k=block_k, seq_k=s_pad,
-                              scale=scale),
+            kern,
             grid=(b * h, t_pad // block_q),
-            in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-                pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
-                pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0)),
-                pl.BlockSpec((1, 8, s_pad), lambda i, j: (i, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
             out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
             interpret=interpret,
-        )(qf, kf, vf, bias_f)
+        )(*operands)
     else:
+        in_specs = [
+            pl.BlockSpec((1, block_q, d), lambda i, j, l: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, l: (i, l, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, l: (i, l, 0)),
+            pl.BlockSpec((1, 8, block_k), lambda i, j, l: (i, 0, l)),
+        ]
+        operands = [qf, kf, vf, bias_f]
+        if use_rope:
+            kern = functools.partial(_flash_kernel_streamed_rope, scale=scale)
+            in_specs += [
+                pl.BlockSpec((block_q, dh), lambda i, j, l: (j, 0)),
+                pl.BlockSpec((block_q, dh), lambda i, j, l: (j, 0)),
+                pl.BlockSpec((block_k, dh), lambda i, j, l: (l, 0)),
+                pl.BlockSpec((block_k, dh), lambda i, j, l: (l, 0)),
+            ]
+            operands += [cq, sq, ck, sk]
+        else:
+            kern = functools.partial(_flash_kernel_streamed, scale=scale)
         out = pl.pallas_call(
-            functools.partial(_flash_kernel_streamed, scale=scale),
+            kern,
             grid=(b * h, t_pad // block_q, s_pad // block_k),
-            in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda i, j, l: (i, j, 0)),
-                pl.BlockSpec((1, block_k, d), lambda i, j, l: (i, l, 0)),
-                pl.BlockSpec((1, block_k, d), lambda i, j, l: (i, l, 0)),
-                pl.BlockSpec((1, 8, block_k), lambda i, j, l: (i, 0, l)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, block_q, d),
                                    lambda i, j, l: (i, j, 0)),
             out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
@@ -181,7 +316,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 pltpu.VMEM((block_q, 1), jnp.float32),
             ],
             interpret=interpret,
-        )(qf, kf, vf, bias_f)
+        )(*operands)
 
     out = out[:, :t].reshape(b, h, t, d).transpose(0, 2, 1, 3)
     return out

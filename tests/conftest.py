@@ -26,6 +26,34 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# ---------------------------------------------------------------------------
+# Fast/slow tiers: `pytest -m "not slow"` is the fast tier (< ~10 min: ops,
+# kernels, IO, tokenizer, GUI controllers); the slow tier is everything that
+# compiles full model stacks / spawns subprocesses. Modules are tiered as a
+# whole — compile cost dominates per-module, not per-test.
+# ---------------------------------------------------------------------------
+SLOW_MODULES = {
+    "test_adapter_contract", "test_amg", "test_amg_golden",
+    "test_classifier", "test_cli_workflows", "test_distributed",
+    "test_fib_light_workflows", "test_fused_direction", "test_graft_entry",
+    "test_parallel", "test_sam2_model", "test_sam3_golden",
+    "test_sam3_model", "test_segmenters", "test_torch_golden",
+    "test_tracking_golden", "test_video", "test_weights",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: model-stack compiles / subprocess tests "
+        "(excluded from the fast tier: pytest -m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
