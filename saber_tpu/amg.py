@@ -144,6 +144,8 @@ class AutomaticMaskGenerator:
         self.max_area_filter = max_area_filter
         self._crop_fn_cache: Dict[Any, Any] = {}
         self._finalize_cache: Dict[Any, Any] = {}
+        self._resize_cache: Dict[Any, Any] = {}
+        self._encode_jit = None
 
     # ------------------------------------------------------------------
     # Device pipeline
@@ -433,9 +435,15 @@ class AutomaticMaskGenerator:
     # ------------------------------------------------------------------
 
     def _encode(self, images: np.ndarray):
-        """images: (B, S, S, 3) resized crops → backbone pytree."""
-        return self.model.apply({"params": self.params},
-                                jnp.asarray(images), method=SAM2.encode_image)
+        """images: (B, S, S, 3) resized crops → backbone pytree (one
+        jitted program per crop-batch shape — unjitted flax apply runs
+        op-by-op, a separate dispatch per op on the TPU relay)."""
+        if self._encode_jit is None:
+            mcls = type(self.model)
+            self._encode_jit = jax.jit(
+                lambda p, im: self.model.apply({"params": p}, im,
+                                               method=mcls.encode_image))
+        return self._encode_jit(self.params, jnp.asarray(images))
 
     def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
         """image: (H, W, 3) float in [0,1] (reference prepare() output).
@@ -462,16 +470,25 @@ class AutomaticMaskGenerator:
         bufs, crop_params, layer_shapes = [], [], []
         crop_order: List[int] = []                  # finalize crop_id → box
         for layer, cids in sorted(by_layer.items()):
-            # crop + resize + normalize stay ON DEVICE: a np.asarray round
-            # trip per crop cost 21 blocking transfers per image on the
-            # TPU relay
-            resized = jnp.stack([
-                jax.image.resize(img_dev[c[1]:c[3], c[0]:c[2]],
-                                 (model_size, model_size, 3),
-                                 method="bilinear")
-                for c in (crop_boxes[i] for i in cids)])
-            resized = ((resized - jnp.asarray(_IMAGENET_MEAN))
-                       / jnp.asarray(_IMAGENET_STD))
+            # crop + resize + normalize run as ONE jitted program per layer
+            # with the (static) crop boxes baked in — eager per-crop
+            # slicing/resizing cost ~21 separate device dispatches per
+            # image on the TPU relay, where each RPC issue is material
+            boxes_key = tuple(tuple(crop_boxes[i]) for i in cids)
+            rkey = (boxes_key, model_size)
+            if rkey not in self._resize_cache:
+                def build(boxes=boxes_key):
+                    def fn(img):
+                        stk = jnp.stack([
+                            jax.image.resize(img[c[1]:c[3], c[0]:c[2]],
+                                             (model_size, model_size, 3),
+                                             method="bilinear")
+                            for c in boxes])
+                        return ((stk - jnp.asarray(_IMAGENET_MEAN))
+                                / jnp.asarray(_IMAGENET_STD))
+                    return jax.jit(fn)
+                self._resize_cache[rkey] = build()
+            resized = self._resize_cache[rkey](img_dev)
             bb = self._encode(resized)
             n_side = max(1, cfg.npoints
                          // (cfg.crop_n_points_downscale_factor ** layer))

@@ -126,9 +126,11 @@ class RoPEAttention(nn.Module):
         freqs = compute_axial_cis(head_dim, side, side, self.rope_theta)
 
         import jax
+        import os
         use_flash = (tq >= 1024 and jax.default_backend() == "tpu"
                      and 32 <= head_dim <= 256 and head_dim % 8 == 0)
-        if use_flash and head_dim % 256 == 0:
+        fused_rope = os.environ.get("SABER_FUSED_ROPE", "1") != "0"
+        if use_flash and fused_rope and head_dim % 256 == 0:
             # fused-RoPE flash path: rotation happens INSIDE the kernel on
             # de-interleaved halves (ops/flash_attention.py module doc) —
             # no rotated fp32 q/k copies ever hit HBM. The static channel
