@@ -19,7 +19,7 @@ Behaviors mirrored from the reference viewers:
 
 import json
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -168,6 +168,35 @@ class AnnotationSession:
         return int(label_map[..., y, x] if label_map.ndim == 2
                    else label_map[y, x])
 
+    # -- summaries (reference zarr_gui progress panel) ----------------------
+
+    def class_counts(self, run: str) -> Dict[str, int]:
+        """Accepted-mask count per class for one run."""
+        r = self._run(run)
+        return {cls: len(labels) for cls, labels in r["accepted"].items()
+                if labels}
+
+    def progress(self, runs: List[str]) -> Dict[str, Any]:
+        """Curation progress over a run list (reference zarr_gui.py status
+        bar: how many runs touched, per-class totals, rejected count)."""
+        per_class: Dict[str, int] = {}
+        rejected = 0
+        touched = 0
+        for run in runs:
+            a = self.annotations.get(run)
+            if not a:
+                continue
+            got = False
+            for cls, labels in a.get("accepted", {}).items():
+                if labels:
+                    per_class[cls] = per_class.get(cls, 0) + len(labels)
+                    got = True
+            nrej = len(a.get("rejected", []))
+            rejected += nrej
+            touched += bool(got or nrej)
+        return {"runs_annotated": touched, "runs_total": len(runs),
+                "per_class": per_class, "rejected": rejected}
+
     # -- persistence --------------------------------------------------------
 
     def save(self, path: Optional[str] = None) -> str:
@@ -177,6 +206,122 @@ class AnnotationSession:
         with open(path, "w") as f:
             json.dump(self.annotations, f, indent=1)
         return path
+
+
+class ClassManager:
+    """Class add/remove/select with TAB10 color cycling (reference
+    zarr_gui.py ClassManagerWidget:22-150, logic only — the Qt widget is
+    a shell over this)."""
+
+    def __init__(self, classes: Optional[Dict[str, Dict]] = None):
+        # {name: {"id": int, "color": [r, g, b]}}
+        self.classes: Dict[str, Dict] = dict(classes or {})
+        self.selected: Optional[str] = None
+        if not self.classes:
+            self.add("class_1")
+        self.selected = next(iter(self.classes))
+
+    def _next_color_index(self) -> int:
+        used = {c.get("color_index") for c in self.classes.values()}
+        i = 0
+        while i in used:
+            i += 1
+        return i
+
+    def add(self, name: str) -> bool:
+        name = name.strip()
+        if not name or name in self.classes:
+            return False
+        idx = self._next_color_index()
+        self.classes[name] = {
+            "id": max((c["id"] for c in self.classes.values()), default=0) + 1,
+            "color": TAB10[idx % len(TAB10)].tolist(),
+            "color_index": idx,
+        }
+        if self.selected is None:
+            self.selected = name
+        return True
+
+    def remove(self, name: str) -> bool:
+        """Remove a class; the last remaining class cannot be removed
+        (reference remove_class guard)."""
+        if name not in self.classes or len(self.classes) <= 1:
+            return False
+        del self.classes[name]
+        if self.selected == name:
+            self.selected = next(iter(self.classes))
+        return True
+
+    def select(self, name: str) -> bool:
+        if name in self.classes:
+            self.selected = name
+            return True
+        return False
+
+    def id_of(self, name: Optional[str] = None) -> int:
+        return self.classes[name or self.selected]["id"]
+
+    def name_of(self, cls_id) -> Optional[str]:
+        for name, info in self.classes.items():
+            if str(info["id"]) == str(cls_id):
+                return name
+        return None
+
+    def as_dict(self) -> Dict[str, Dict]:
+        return {n: dict(c) for n, c in self.classes.items()}
+
+
+def mask_boundary(mask: np.ndarray) -> Optional[np.ndarray]:
+    """Boundary pixel coordinates (N, 2) [y, x] of a binary mask.
+
+    Pure-numpy replacement for the reference's OpenCV contour extraction
+    (gui/base/utils.py get_boundary_opencv_fast): a boundary pixel is an
+    on-pixel with at least one off 4-neighbour. Returns None for empty
+    masks, and subsamples very large boundaries the same way the
+    reference caps contour points for draw speed."""
+    m = np.asarray(mask) > 0
+    if not m.any():
+        return None
+    inner = np.zeros_like(m)
+    inner[1:-1, 1:-1] = (m[1:-1, 1:-1] & m[:-2, 1:-1] & m[2:, 1:-1]
+                         & m[1:-1, :-2] & m[1:-1, 2:])
+    ys, xs = np.nonzero(m & ~inner)
+    pts = np.stack([ys, xs], axis=1)
+    if len(pts) > 4000:                     # draw-speed cap (reference
+        pts = pts[:: len(pts) // 2000]      # subsamples long contours)
+    return pts
+
+
+class HighlightState:
+    """Click-to-highlight + boundary cache (reference
+    annotation_viewer.py highlight_mask/clear_highlight, with the
+    per-mask boundary computed lazily and cached)."""
+
+    def __init__(self):
+        self.current: Optional[int] = None
+        self._boundary_cache: Dict[int, Optional[np.ndarray]] = {}
+
+    def toggle(self, label: int) -> Optional[int]:
+        """Highlight label, or clear if it was already highlighted.
+        Returns the new highlighted label (None = cleared)."""
+        self.current = None if self.current == label or label <= 0 else label
+        return self.current
+
+    def clear(self):
+        self.current = None
+
+    def boundary_of(self, label_map: np.ndarray, label: int
+                    ) -> Optional[np.ndarray]:
+        if label not in self._boundary_cache:
+            self._boundary_cache[label] = mask_boundary(label_map == label)
+        return self._boundary_cache[label]
+
+    def invalidate(self, label: Optional[int] = None):
+        """Drop cached boundaries (all, or one label) after data changes."""
+        if label is None:
+            self._boundary_cache.clear()
+        else:
+            self._boundary_cache.pop(label, None)
 
 
 class SliceNavigator:

@@ -18,13 +18,16 @@ except ImportError as e:  # pragma: no cover
         "(pip install saber-tpu[gui])") from e
 
 from saber_tpu.gui.base.annotation_session import (AnnotationSession,
+                                                   HighlightState,
                                                    SliceNavigator,
                                                    prepare_label_volume)
 
 
 class AnnotationSegmentationViewer3D(QtWidgets.QWidget):  # pragma: no cover
-    """Dual-view 3D reviewer: scroll z, click to assign the selected class,
-    'r' to reject, Delete to clear, Ctrl+Z to undo."""
+    """Dual-view 3D reviewer: scroll z (slider / arrow keys), click to
+    highlight a label (boundary outline on the current slice), 'a'/Enter
+    assigns the selected class, 1-9 assign class N, 'r' rejects, 'x'
+    clears, Ctrl+Z undoes, Home recenters the z slider."""
 
     def __init__(self, volume, masks, class_dict, selected_class,
                  session: AnnotationSession, run_id: str):
@@ -40,6 +43,8 @@ class AnnotationSegmentationViewer3D(QtWidgets.QWidget):  # pragma: no cover
             self.labels = np.broadcast_to(
                 self.labels, self.volume.shape).copy()
         self.nav = SliceNavigator(self.volume.shape[0])
+        self.highlight = HighlightState()
+        self._hl_slice = None      # z the cached boundary belongs to
         self._build_ui()
         self._refresh()
 
@@ -49,17 +54,22 @@ class AnnotationSegmentationViewer3D(QtWidgets.QWidget):  # pragma: no cover
         self.views = []
         self.img_items = []
         self.mask_items = []
+        self.boundary_items = []
         for _ in range(2):  # left candidates / right accepted
             glw = pg.GraphicsLayoutWidget()
             vb = glw.addViewBox(lockAspect=True)
             img = pg.ImageItem(axisOrder="row-major")
             mask = pg.ImageItem(axisOrder="row-major")
+            bnd = pg.ScatterPlotItem(size=2, pen=None,
+                                     brush=pg.mkBrush(255, 255, 0, 220))
             vb.addItem(img)
             vb.addItem(mask)
+            vb.addItem(bnd)
             row.addWidget(glw)
             self.views.append(vb)
             self.img_items.append(img)
             self.mask_items.append(mask)
+            self.boundary_items.append(bnd)
         layout.addLayout(row)
 
         self.slider = QtWidgets.QSlider(QtCore.Qt.Horizontal)
@@ -90,23 +100,60 @@ class AnnotationSegmentationViewer3D(QtWidgets.QWidget):  # pragma: no cover
                                     levels=(0, self.max_label))
         self.mask_items[1].setImage(lab, autoLevels=False, lut=right,
                                     levels=(0, self.max_label))
+        for bnd in self.boundary_items:
+            bnd.setVisible(False)
+        if self.highlight.current:
+            # boundary is per-slice: invalidate the cache when z moved
+            # (reference _update_highlight_boundary recomputes on slice
+            # change)
+            if self._hl_slice != z:
+                self.highlight.invalidate()
+                self._hl_slice = z
+            pts = self.highlight.boundary_of(lab, self.highlight.current)
+            if pts is not None:
+                pane = (1 if self.session.state_of(
+                    self.run_id, self.highlight.current)
+                    not in (None, "rejected") else 0)
+                self.boundary_items[pane].setData(pts[:, 1], pts[:, 0])
+                self.boundary_items[pane].setVisible(True)
+        counts = self.session.class_counts(self.run_id)
+        counts_txt = " ".join(f"{c}:{n}" for c, n in counts.items())
         self.status.setText(
             f"{self.run_id}  z={z}/{self.nav.n_slices - 1}  "
-            f"class={self.selected_class}")
+            f"class={self.selected_class}  {counts_txt}")
 
     def _clicked(self, ev):
         pos = ev.pos()
         label = self.session.pick(self.labels[self.nav.current],
                                   int(pos.y()), int(pos.x()))
-        if label:
-            self.session.assign(self.run_id, label, self.selected_class)
-            self._refresh()
+        self.highlight.toggle(label)
+        self._hl_slice = self.nav.current
+        self._refresh()
+
+    def _assign_highlight(self, cls):
+        if self.highlight.current:
+            self.session.assign(self.run_id, self.highlight.current, cls)
+            self.highlight.clear()
 
     def keyPressEvent(self, ev):
-        if ev.key() == QtCore.Qt.Key_Z and ev.modifiers() & QtCore.Qt.ControlModifier:
+        key = ev.key()
+        if key == QtCore.Qt.Key_Z and ev.modifiers() & QtCore.Qt.ControlModifier:
             self.session.undo()
-        elif ev.key() in (QtCore.Qt.Key_Left, QtCore.Qt.Key_Down):
+        elif key in (QtCore.Qt.Key_Left, QtCore.Qt.Key_Down):
             self.slider.setValue(self.nav.step(-1))
-        elif ev.key() in (QtCore.Qt.Key_Right, QtCore.Qt.Key_Up):
+        elif key in (QtCore.Qt.Key_Right, QtCore.Qt.Key_Up):
             self.slider.setValue(self.nav.step(+1))
+        elif key == QtCore.Qt.Key_Home:
+            self.slider.setValue(self.nav.set(self.nav.n_slices // 2))
+        elif key == QtCore.Qt.Key_R and self.highlight.current:
+            self.session.reject(self.run_id, self.highlight.current)
+            self.highlight.clear()
+        elif key == QtCore.Qt.Key_X and self.highlight.current:
+            self.session.remove(self.run_id, self.highlight.current)
+            self.highlight.clear()
+        elif key in (QtCore.Qt.Key_A, QtCore.Qt.Key_Return,
+                     QtCore.Qt.Key_Enter):
+            self._assign_highlight(self.selected_class)
+        elif QtCore.Qt.Key_1 <= key <= QtCore.Qt.Key_9:
+            self._assign_highlight(key - QtCore.Qt.Key_0)
         self._refresh()

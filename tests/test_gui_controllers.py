@@ -165,3 +165,95 @@ class TestTextAnnotationStack:
         assert ctrl.current_run_id == "run_B"
         assert ctrl.dm.get_global_text("run_A") == "note A"
         assert ctrl.dm.annotated_runs() == ["run_A"]
+
+
+class TestHighlightAndProgress:
+    """New reference-parity behaviors: boundary highlight + progress
+    (reference annotation_viewer.py highlight_mask/_compute_boundary,
+    zarr_gui.py progress panel)."""
+
+    def test_mask_boundary_square(self):
+        from saber_tpu.gui.base.annotation_session import mask_boundary
+        m = np.zeros((10, 10), bool)
+        m[2:7, 3:8] = True
+        pts = mask_boundary(m)
+        # boundary = on-pixels with an off 4-neighbour: the square's rim
+        want = {(y, x) for y in range(2, 7) for x in range(3, 8)
+                if y in (2, 6) or x in (3, 7)}
+        assert {tuple(p) for p in pts} == want
+
+    def test_mask_boundary_empty_and_single(self):
+        from saber_tpu.gui.base.annotation_session import mask_boundary
+        assert mask_boundary(np.zeros((5, 5), bool)) is None
+        m = np.zeros((5, 5), bool)
+        m[2, 2] = True
+        assert [tuple(p) for p in mask_boundary(m)] == [(2, 2)]
+
+    def test_highlight_toggle_and_cache(self):
+        from saber_tpu.gui.base.annotation_session import HighlightState
+        lab = np.zeros((8, 8), np.int32)
+        lab[1:4, 1:4] = 1
+        hs = HighlightState()
+        assert hs.toggle(1) == 1
+        pts1 = hs.boundary_of(lab, 1)
+        assert pts1 is not None and len(pts1) == 8
+        # cached object is reused until invalidated
+        assert hs.boundary_of(lab, 1) is pts1
+        hs.invalidate()
+        assert hs.boundary_of(lab, 1) is not pts1
+        # toggling the same label clears; label 0 never highlights
+        assert hs.toggle(1) is None
+        assert hs.toggle(0) is None
+
+    def test_class_counts_and_progress(self):
+        s = AnnotationSession(class_dict={"1": "mito", "2": "ribo"})
+        s.assign("run_a", 1, 1)
+        s.assign("run_a", 2, 1)
+        s.assign("run_a", 3, 2)
+        s.reject("run_a", 4)
+        s.reject("run_b", 1)
+        assert s.class_counts("run_a") == {"1": 2, "2": 1}
+        prog = s.progress(["run_a", "run_b", "run_c"])
+        assert prog["runs_annotated"] == 2
+        assert prog["runs_total"] == 3
+        assert prog["per_class"] == {"1": 2, "2": 1}
+        assert prog["rejected"] == 2
+        # undo moves a label back out of the counts
+        s.undo()
+        assert s.progress(["run_a", "run_b"])["rejected"] == 1
+
+
+class TestClassManager:
+    """Class add/remove/select model (reference zarr_gui.py:22-150)."""
+
+    def test_defaults_and_add(self):
+        from saber_tpu.gui.base.annotation_session import ClassManager
+        cm = ClassManager()
+        assert cm.selected == "class_1" and cm.id_of() == 1
+        assert cm.add("mito")
+        assert cm.classes["mito"]["id"] == 2
+        assert not cm.add("mito")          # duplicates rejected
+        assert not cm.add("   ")           # blank rejected
+        # colors cycle without collisions
+        assert (cm.classes["class_1"]["color"] != cm.classes["mito"]["color"])
+
+    def test_remove_guards_and_reselect(self):
+        from saber_tpu.gui.base.annotation_session import ClassManager
+        cm = ClassManager()
+        cm.add("ribo")
+        cm.select("ribo")
+        assert cm.remove("ribo")           # selected falls back
+        assert cm.selected == "class_1"
+        assert not cm.remove("class_1")    # last class protected
+        assert cm.name_of(1) == "class_1"
+        assert cm.name_of(99) is None
+
+    def test_color_index_reuse_after_remove(self):
+        from saber_tpu.gui.base.annotation_session import ClassManager
+        cm = ClassManager()
+        cm.add("a")
+        cm.add("b")
+        idx_a = cm.classes["a"]["color_index"]
+        cm.remove("a")
+        cm.add("c")                        # freed color index is reused
+        assert cm.classes["c"]["color_index"] == idx_a
