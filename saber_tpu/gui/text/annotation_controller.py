@@ -72,6 +72,29 @@ class TextAnnotationController:
         if seg_text is not None:
             self._pending_seg = seg_text
 
+    def add_drawn_mask(self, mask) -> int:
+        """Append a user-drawn mask to the current run's stack and select
+        it for description (reference on_mask_added: a drawn mask is
+        immediately the editing target)."""
+        seg_id = self.dm.add_user_mask(self.current_run_id, mask)
+        self.select_segmentation(seg_id)
+        return seg_id
+
+    def seg_color_mapping(self, run_id: Optional[str] = None
+                          ) -> Dict[int, str]:
+        """{seg_id: hex color} — each described segmentation takes the
+        color of its first hashtag, so masks sharing a tag share a color
+        (reference update_colors_for_run / update_mask_colors)."""
+        run = run_id or self.current_run_id
+        self._commit_pending()
+        self.dm.load_run_annotations(run, self.hm)
+        segs = self.hm.run_hashtags.get(run, {}).get("segmentations", {})
+        out: Dict[int, str] = {}
+        for seg_id, tags in segs.items():
+            if tags:
+                out[int(seg_id)] = self.hm.get_hashtag_color(sorted(tags)[0])
+        return out
+
     def accept_mask(self, seg_id: int) -> None:
         """Track an accepted mask for the run (reference :176-201)."""
         run = self.current_run_id
@@ -88,4 +111,5 @@ class TextAnnotationController:
 
     def save_current_run_data(self) -> str:
         self._commit_pending()
+        self.dm.save_masks(self.current_run_id)   # user-drawn masks → zarr
         return self.dm.save_run_annotations(self.current_run_id, self.hm)

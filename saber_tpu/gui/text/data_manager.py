@@ -18,6 +18,16 @@ from saber_tpu.gui.text.hashtag_manager import HashtagManager
 from saber_tpu.utils import zarrlite
 
 
+def circle_mask(shape: Tuple[int, int], cy: float, cx: float,
+                radius: float) -> np.ndarray:
+    """Filled-circle boolean mask (the text GUI's draw tool — reference
+    segmentation_viewer.py _circle_drag_finish builds the same mask from
+    the drag's center + radius)."""
+    h, w = shape
+    yy, xx = np.ogrid[:h, :w]
+    return ((yy - cy) ** 2 + (xx - cx) ** 2) <= radius ** 2
+
+
 class TextAnnotationDataManager:
     def __init__(self, zarr_path: str, save_path: Optional[str] = None):
         self.zarr_path = zarr_path
@@ -27,6 +37,11 @@ class TextAnnotationDataManager:
         self.run_ids: List[str] = list(self.root.keys())
         # {run: {"global_text": str, "segmentations": {seg_id: text}}}
         self.text_data: Dict[str, Dict[str, Any]] = {}
+        # user-drawn masks per run, session-stashed so switching runs does
+        # not lose unsaved drawings (reference stash_session_state /
+        # read_with_session_fallback)
+        self.user_masks: Dict[str, List[np.ndarray]] = {}
+        self.masks_path = os.path.splitext(self.save_path)[0] + "_masks.zarr"
         if os.path.exists(self.save_path):
             with open(self.save_path) as f:
                 self.text_data = json.load(f)
@@ -42,6 +57,61 @@ class TextAnnotationDataManager:
         else:
             masks = np.zeros((0, *image.shape[-2:]), np.uint8)
         return image, masks
+
+    def read_with_session_fallback(self, run_id: str
+                                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """(image, masks) with session-drawn + previously saved user masks
+        appended after the zarr candidates (reference
+        read_with_session_fallback + _load_saved_masks)."""
+        image, masks = self.read_data(run_id)
+        extra = list(self._load_saved_masks(run_id))
+        extra += self.user_masks.get(run_id, [])
+        if extra:
+            base = masks if masks.ndim == 3 else masks[None]
+            hw = base.shape[-2:] if base.size else extra[0].shape
+            extra_arr = np.stack([m.astype(base.dtype if base.size else
+                                           np.uint8) for m in extra])
+            base = base if base.size else np.zeros((0, *hw), extra_arr.dtype)
+            masks = np.concatenate([base, extra_arr], axis=0)
+        return image, masks
+
+    # -- user-drawn masks (draw tool) ----------------------------------------
+
+    def add_user_mask(self, run_id: str, mask: np.ndarray) -> int:
+        """Stash a drawn mask for the run; returns its 1-based seg id in
+        the combined stack (zarr candidates + saved + session masks)."""
+        lst = self.user_masks.setdefault(run_id, [])
+        lst.append(np.asarray(mask) > 0)
+        _, masks = self.read_with_session_fallback(run_id)
+        return masks.shape[0]
+
+    def clear_session_state(self, run_id: str) -> None:
+        self.user_masks.pop(run_id, None)
+
+    def _load_saved_masks(self, run_id: str) -> List[np.ndarray]:
+        if not os.path.exists(os.path.join(self.masks_path, ".zgroup")):
+            return []
+        root = zarrlite.Group(self.masks_path)
+        if run_id not in root:
+            return []
+        arr = np.asarray(root[run_id]["masks"])
+        return [arr[i] for i in range(arr.shape[0])]
+
+    def save_masks(self, run_id: str) -> Optional[str]:
+        """Persist the run's user-drawn masks into the sidecar masks zarr
+        (reference save_masks_to_zarr); merges with masks saved earlier.
+        Returns the zarr path, or None if there is nothing to save."""
+        session = self.user_masks.get(run_id, [])
+        if not session:
+            return None
+        existing = self._load_saved_masks(run_id)
+        stack = np.stack([m.astype(np.uint8)
+                          for m in existing + session])
+        root = zarrlite.Group.create(self.masks_path)
+        grp = root.require_group(run_id)
+        grp.create_dataset("masks", data=stack, overwrite=True)
+        self.user_masks[run_id] = []     # now part of the saved set
+        return self.masks_path
 
     # -- in-memory text -----------------------------------------------------
 

@@ -74,21 +74,36 @@ class TextSegmentationViewer(QtWidgets.QMainWindow):  # pragma: no cover
 
     def _load(self, run_id: str):
         state = self.ctrl.on_image_selected(run_id)
-        image, masks = self.ctrl.dm.read_data(run_id)
+        # session fallback keeps unsaved drawn masks visible across run
+        # switches (reference read_with_session_fallback)
+        image, masks = self.ctrl.dm.read_with_session_fallback(run_id)
         if image.ndim == 3:
             image = image[image.shape[0] // 2]
         self.labels, self.max_label = prepare_label_volume(masks)
         if self.labels.ndim == 3:
             self.labels = self.labels[self.labels.shape[0] // 2]
         self.img_item.setImage(np.asarray(image), autoLevels=True)
-        self.mask_item.setImage(self.labels, autoLevels=False,
-                                lut=build_palette_lut(self.max_label),
-                                levels=(0, self.max_label))
+        self._refresh_overlay()
         self.global_text.setPlainText(state["global_text"])
         self.tag_list.clear()
         self.tag_list.addItems(state["hashtags"])
 
+    def _refresh_overlay(self):
+        """Palette LUT with described masks recolored by their first
+        hashtag (reference update_mask_colors)."""
+        lut = build_palette_lut(self.max_label)
+        for seg_id, hex_color in self.ctrl.seg_color_mapping().items():
+            if 0 < seg_id <= self.max_label:
+                r, g, b = (int(hex_color[i:i + 2], 16) for i in (1, 3, 5))
+                lut[seg_id] = (r, g, b, 140)
+        self.mask_item.setImage(self.labels, autoLevels=False, lut=lut,
+                                levels=(0, self.max_label))
+
     def _clicked(self, ev):
+        # right-click starts the circle draw tool; left selects
+        if hasattr(ev, "button") and ev.button() == 2:
+            self._draw_at(ev.pos())
+            return
         pos = ev.pos()
         y, x = int(pos.y()), int(pos.x())
         if 0 <= y < self.labels.shape[0] and 0 <= x < self.labels.shape[1]:
@@ -97,12 +112,26 @@ class TextSegmentationViewer(QtWidgets.QMainWindow):  # pragma: no cover
                 text = self.ctrl.select_segmentation(seg)
                 self.seg_text.setPlainText(text)
 
+    def _draw_at(self, pos, radius: float = 12.0):
+        """Draw-tool: append a circular mask at the click position
+        (reference circle-drag tool; fixed radius here, resizable via
+        repeated application)."""
+        from saber_tpu.gui.text.data_manager import circle_mask
+        m = circle_mask(self.labels.shape, float(pos.y()), float(pos.x()),
+                        radius)
+        seg_id = self.ctrl.add_drawn_mask(m)
+        self.labels = np.where(m & (self.labels == 0), seg_id, self.labels)
+        self.max_label = max(self.max_label, seg_id)
+        self.seg_text.setPlainText("")
+        self._refresh_overlay()
+
     def _save(self):
         path = self.ctrl.save_current_run_data()
         self.statusBar().showMessage(f"saved → {path}", 3000)
         self.tag_list.clear()
         self.tag_list.addItems(
             sorted(self.ctrl.hm.all_hashtags(self.ctrl.current_run_id)))
+        self._refresh_overlay()
 
 
 def launch_text_viewer(zarr_path: str):  # pragma: no cover

@@ -257,3 +257,67 @@ class TestClassManager:
         cm.remove("a")
         cm.add("c")                        # freed color index is reused
         assert cm.classes["c"]["color_index"] == idx_a
+
+
+class TestDrawnMasksAndColors:
+    """User-drawn masks + hashtag colors (reference text GUI draw tool,
+    data_manager save_masks_to_zarr / read_with_session_fallback,
+    controller update_colors_for_run)."""
+
+    @pytest.fixture
+    def zarr_runs(self, tmp_path):
+        root = zarrlite.Group.create(str(tmp_path / "cands.zarr"))
+        for run in ("run_a", "run_b"):
+            grp = root.require_group(run)
+            grp.create_dataset("0", data=np.zeros((16, 16), np.float32))
+            labels = grp.require_group("labels")
+            stack = np.zeros((2, 16, 16), np.uint8)
+            stack[0, :4, :4] = 1
+            stack[1, 8:12, 8:12] = 1
+            labels.create_dataset("0", data=stack)
+        return str(tmp_path / "cands.zarr")
+
+    def test_circle_mask(self):
+        from saber_tpu.gui.text.data_manager import circle_mask
+        m = circle_mask((16, 16), 8, 8, 3)
+        assert m[8, 8] and m[8, 11] and not m[8, 12]
+        assert m.sum() == (np.hypot(*np.mgrid[-8:8, -8:8][::1]) <= 3).sum()
+
+    def test_drawn_mask_session_and_persistence(self, zarr_runs):
+        from saber_tpu.gui.text.annotation_controller import \
+            TextAnnotationController
+        from saber_tpu.gui.text.data_manager import (
+            TextAnnotationDataManager, circle_mask)
+        ctrl = TextAnnotationController(TextAnnotationDataManager(zarr_runs))
+        m = circle_mask((16, 16), 4, 12, 2)
+        seg_id = ctrl.add_drawn_mask(m)
+        assert seg_id == 3                       # after 2 zarr candidates
+        assert ctrl.selected_segmentation == 3
+        # survives a run switch (session stash)
+        ctrl.on_image_selected("run_b")
+        _, masks = ctrl.dm.read_with_session_fallback("run_a")
+        assert masks.shape[0] == 3
+        # save persists into the sidecar masks zarr; reloading in a fresh
+        # manager still sees 3 masks
+        ctrl.on_image_selected("run_a")
+        ctrl.save_current_run_data()
+        dm2 = TextAnnotationDataManager(zarr_runs)
+        _, masks2 = dm2.read_with_session_fallback("run_a")
+        assert masks2.shape[0] == 3
+        assert np.array_equal(masks2[2] > 0, m)
+
+    def test_seg_color_mapping_by_hashtag(self, zarr_runs):
+        from saber_tpu.gui.text.annotation_controller import \
+            TextAnnotationController
+        from saber_tpu.gui.text.data_manager import TextAnnotationDataManager
+        ctrl = TextAnnotationController(TextAnnotationDataManager(zarr_runs))
+        ctrl.select_segmentation(1)
+        ctrl.on_text_changed(seg_text="a #mito here")
+        ctrl.select_segmentation(2)
+        ctrl.on_text_changed(seg_text="also #mito")
+        colors = ctrl.seg_color_mapping()
+        assert colors[1] == colors[2]            # shared tag, shared color
+        ctrl.select_segmentation(2)
+        ctrl.on_text_changed(seg_text="#actin now")
+        colors = ctrl.seg_color_mapping()
+        assert colors[1] != colors[2]            # different first tag
