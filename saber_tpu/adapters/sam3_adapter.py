@@ -63,13 +63,15 @@ class SAM3Adapter(SAM2Adapter):
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-        if config.checkpoint_path is None and config.load_from_HF:
-            # zero-egress analog of the reference's HF download path
-            # (predictor.py:101-113): fall through to random init loudly
-            pass
+        checkpoint = config.checkpoint_path
+        if checkpoint is None and config.load_from_HF:
+            # the reference's HF download path (predictor.py:101-113);
+            # zero-egress environments fall through to random init loudly
+            from saber_tpu.pretrained_weights import get_sam3_checkpoint
+            checkpoint = get_sam3_checkpoint()
         self.model, self.params = build_sam3(
             config.cfg, image_size=config.image_size, dtype=dtype,
-            num_maskmem=config.num_maskmem, checkpoint=config.checkpoint_path)
+            num_maskmem=config.num_maskmem, checkpoint=checkpoint)
         self.core = VideoCore(self.model)
         self.preprocessor = TomogramPreprocessor(config.light_modality)
         self.encode_chunk = encode_chunk

@@ -169,15 +169,8 @@ class SimpleTokenizer:
 
 def get_tokenizer() -> SimpleTokenizer:
     """Load the tokenizer, fetching the vocab when the network allows
-    (reference pretrained_weights.py:104-148)."""
-    from saber_tpu.pretrained_weights import checkpoint_dir
+    (reference pretrained_weights.py:104-148). Resolution — env override,
+    cache, download — lives in pretrained_weights.get_clip_bpe_path."""
+    from saber_tpu.pretrained_weights import get_clip_bpe_path
 
-    local = os.path.join(checkpoint_dir(), "bpe_simple_vocab_16e6.txt.gz")
-    if not os.path.exists(local):
-        try:
-            import urllib.request
-            urllib.request.urlretrieve(VOCAB_URL, local + ".tmp")
-            os.replace(local + ".tmp", local)
-        except Exception:
-            return SimpleTokenizer(None)
-    return SimpleTokenizer(local)
+    return SimpleTokenizer(get_clip_bpe_path())
