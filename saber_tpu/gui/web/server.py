@@ -320,6 +320,29 @@ class AnnotationApp:
     def classes(self):
         return dict(self.root.attrs.get("labels", {}))
 
+    def progress(self):
+        """Curation progress summary (parity with the Qt workbench's
+        counters — AnnotationSession.progress semantics)."""
+        runs = list(self.root.keys())
+        per_class: Dict[str, int] = {}
+        rejected = 0
+        touched = 0
+        with self.lock:
+            for run in runs:
+                a = self.annotations.get(run)
+                if not a:
+                    continue
+                got = False
+                for cls, labels in a.get("accepted", {}).items():
+                    if labels:
+                        per_class[cls] = per_class.get(cls, 0) + len(labels)
+                        got = True
+                nrej = len(a.get("rejected", []))
+                rejected += nrej
+                touched += bool(got or nrej)
+        return {"runs_annotated": touched, "runs_total": len(runs),
+                "per_class": per_class, "rejected": rejected}
+
 
 def _make_handler(app: AnnotationApp):
     class Handler(BaseHTTPRequestHandler):
@@ -351,6 +374,8 @@ def _make_handler(app: AnnotationApp):
                     self._send(200, app.text_annotations())
                 elif self.path == "/api/hashtags":
                     self._send(200, app.hashtags())
+                elif self.path == "/api/progress":
+                    self._send(200, app.progress())
                 elif self.path == "/api/classes":
                     self._send(200, app.classes())
                 else:

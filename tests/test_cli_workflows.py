@@ -164,6 +164,11 @@ class TestWebServer:
             resp = json.load(urllib.request.urlopen(req))
             assert resp["ok"]
 
+            # progress reflects the annotation just posted
+            prog = json.load(urllib.request.urlopen(f"{base}/api/progress"))
+            assert prog == {"runs_annotated": 1, "runs_total": 1,
+                            "per_class": {"1": 1}, "rejected": 1}
+
             # index page serves
             html = urllib.request.urlopen(base + "/").read().decode()
             assert "saber-tpu annotator" in html
