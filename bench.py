@@ -178,25 +178,43 @@ def main():
         seed_masks[i, (2 * i + 1) * s // 2:(2 * i + 3) * s // 2, s:3 * s] = 1.0
     seed_masks = jnp.asarray(seed_masks)
 
+    # ONE jitted program per volume: a lax.scan over chunk groups whose
+    # body fuses encoder + per-frame tracking — the schedule segment_volume
+    # ships (sam2_adapter._direction_program); the round-2 bench host-
+    # looped encode/propagate per chunk, paying an RPC issue per program
+    import jax as _jax
+
+    n_chunks = n_frames // chunk
+    mcls = type(model)
+
+    @_jax.jit
+    def volume_program(params, pstate, frames_all, idxs_all):
+        def body(ps, inp):
+            sl, idx = inp
+            bb = model.apply({"params": params}, sl,
+                             method=mcls.encode_image)
+            ps, (low, scores) = core.propagate_slab(
+                params, ps, VideoCore.slab_frames(bb), idx,
+                jnp.asarray(1.0))
+            return ps, low
+        return jax.lax.scan(
+            body, pstate,
+            (frames_all.reshape(n_chunks, chunk, *frames_all.shape[1:]),
+             idxs_all.reshape(n_chunks, chunk)))
+
+    idxs = jnp.arange(n_frames)
+
     def run_volume():
-        """Encode all frames in chunks and propagate through every slice."""
+        """Seed, then track every slice in one fused device program."""
         state = init_state(n_objects, core.cfg)
         bb0 = core.encode_batch(params, frames[:1])
         state, _ = core.seed(params, bb0, seed_masks, jnp.asarray(0), state)
-        outs = []
-        for c0 in range(0, n_frames, chunk):
-            sl = frames[c0:c0 + chunk]
-            bb = core.encode_batch(params, sl)
-            fr = VideoCore.slab_frames(bb)
-            idx = jnp.arange(c0, c0 + sl.shape[0])
-            state, (low, scores) = core.propagate_slab(
-                params, state, fr, idx, jnp.asarray(1.0))
-            outs.append(low)
+        _, low = volume_program(params, state, frames, idxs)
         # force full execution with a host transfer (block_until_ready is
         # not reliable on the experimental remote-TPU platform)
-        checksum = float(np.asarray(jnp.sum(outs[-1])))
+        checksum = float(np.asarray(jnp.sum(low[-1])))
         assert np.isfinite(checksum)
-        return outs
+        return low
 
     run_volume()  # compile warmup
     reps = 3 if on_tpu else 1
