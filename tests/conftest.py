@@ -68,6 +68,15 @@ def _clear_jax_caches_between_modules():
     programs (observed at different tests on different runs; any single
     module passes in isolation). Dropping the executable caches between
     modules keeps the compiler state small; modules rarely share
-    programs, so the recompile cost is negligible."""
+    programs, so the recompile cost is negligible.
+
+    Root-cause status (round 3): a minimal repro was attempted by
+    accumulating thousands of distinct jitted programs in one process —
+    no crash before the attempt timed out (small-program compiles alone
+    don't trigger it; the failure needs the suite's large model
+    executables). The crash is inside upstream XLA:CPU, not this
+    repo's code; with zero egress an upstream issue can't be filed from
+    here. Practical resolution: this fixture + the fast/slow tier split
+    (`pytest -m "not slow"` for iteration)."""
     yield
     jax.clear_caches()
