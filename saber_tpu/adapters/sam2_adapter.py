@@ -63,6 +63,16 @@ def _paint_low(low_logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.max((low_logits > 0.0) * ids, axis=1).astype(dt)
 
 
+def _paint_low_np(low_logits: np.ndarray) -> np.ndarray:
+    """Host-side _paint_low for a single frame's (B, low, low) logits —
+    painting one seed frame on device would cost a whole extra program
+    (material first-call overhead on the TPU relay)."""
+    b = low_logits.shape[0]
+    dt = np.uint8 if b <= 255 else np.uint16
+    ids = np.arange(1, b + 1, dtype=np.int32).reshape(b, 1, 1)
+    return np.max((low_logits > 0.0) * ids, axis=0).astype(dt)
+
+
 def _expand_labels(labels: np.ndarray, h: int, w: int) -> np.ndarray:
     """Host nearest-resize of (F, lh, lw) label maps to (F, h, w).
 
@@ -263,11 +273,42 @@ class SAM2Adapter(BaseAdapter):
             raise RuntimeError(f"no seed masks at frame {frame_idx}")
         obj_ids = sorted(seeds)
         masks = jnp.asarray(np.stack([seeds[i] for i in obj_ids]))
+        if self._use_fused_direction(state):
+            # one device program: gather + preprocess + encode + seed
+            # (separate programs each pay ~45-60 s of first-call loader
+            # overhead per process on the TPU relay)
+            pstate, seed_logits = self._seed_program()(
+                self.params, state["volume"],
+                jnp.asarray(state["vmin"], jnp.float32),
+                jnp.asarray(state["vmax"], jnp.float32),
+                jnp.asarray(frame_idx, jnp.int32), masks)
+            return pstate, obj_ids, seed_logits
         pstate = init_state(len(obj_ids), self.core.cfg)
         frame = self._frame_backbone(state, frame_idx)
         pstate, seed_logits = self.core.seed(
             self.params, frame, masks, jnp.asarray(frame_idx), pstate)
         return pstate, obj_ids, seed_logits
+
+    _seed_jit = None
+
+    def _seed_program(self):
+        """Fused seed: slice gather → slab preprocess → encoder → seed
+        decode/memory-encode, one jitted program (device-resident volumes
+        only; the chunked/np path keeps the separate stages)."""
+        if self._seed_jit is not None:
+            return self._seed_jit
+        core = self.core
+        size = self.model.config.image_size
+        prepare = self.preprocessor.prepare_slab
+
+        def run(params, volume, vmin, vmax, frame_idx, masks):
+            slab = jnp.take(volume, frame_idx[None], axis=0)
+            frame = core.encode_batch(params, prepare(slab, vmin, vmax, size))
+            pstate = init_state(masks.shape[0], core.cfg)
+            return core.seed(params, frame, masks, frame_idx, pstate)
+
+        self._seed_jit = jax.jit(run)
+        return self._seed_jit
 
     def propagate_in_video(self, start_frame_idx, max_frame_num_to_track=None,
                            reverse=False, inference_state=None) -> Iterator:
@@ -448,7 +489,7 @@ class SAM2Adapter(BaseAdapter):
         lowlab = np.zeros((z, low, low), np.uint16)
         frame_scores = np.zeros((z, n_obj), np.float32)
 
-        lowlab[start_frame_idx] = np.asarray(_paint_low(seed_logits[None]))[0]
+        lowlab[start_frame_idx] = _paint_low_np(np.asarray(seed_logits))
         frame_scores[start_frame_idx] = 10.0  # seeded frame: object present
 
         # dispatch WITHOUT host syncs: one fused device program per
@@ -613,7 +654,7 @@ class SAM2Adapter(BaseAdapter):
                           np.asarray(scores)[:len(idxs), :, 0])
 
         # seed frames emit their own masks (the scan skips rel == 0)
-        seed_painted = np.asarray(_paint_low(seed_logits[None]))[0]
+        seed_painted = _paint_low_np(np.asarray(seed_logits))
         for f in seed_frames:
             at_f = np.isin(
                 seed_painted,

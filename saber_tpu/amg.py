@@ -143,9 +143,7 @@ class AutomaticMaskGenerator:
         self.min_area_filter = min_area_filter
         self.max_area_filter = max_area_filter
         self._crop_fn_cache: Dict[Any, Any] = {}
-        self._finalize_cache: Dict[Any, Any] = {}
-        self._resize_cache: Dict[Any, Any] = {}
-        self._encode_jit = None
+        self._generate_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
     # Device pipeline
@@ -301,24 +299,21 @@ class AutomaticMaskGenerator:
             buf["boxes"] = boxes
             return buf
 
-        return jax.jit(jax.vmap(run_one, in_axes=(None, 0)))
+        return jax.vmap(run_one, in_axes=(None, 0))
 
-    def _run_layer(self, backbone, n_points_side: int, n_crops: int):
-        """backbone: pytree with leading crop axis n_crops. Returns a
-        candidate buffer pytree with leading axis n_crops."""
+    def _layer_chunk(self, n_points_side: int, n_crops: int) -> int:
         per_crop = min(self.cfg.points_per_batch, n_points_side**2)
         if n_crops > 1:
             per_crop = max(1, min(per_crop,
                                   self.cfg.step_prompt_budget // n_crops))
+        return per_crop
+
+    def _layer_fn(self, n_points_side: int, per_crop: int, n_crops: int):
         key = (n_points_side, per_crop, n_crops)
         if key not in self._crop_fn_cache:
             self._crop_fn_cache[key] = self._build_layer_fn(
                 n_points_side, per_crop, n_crops)
-        # only the decode inputs carry the crop batch axis; pos encodings
-        # are unbatched and unused by the decoder
-        decode_bb = {"vision_features": backbone["vision_features"],
-                     "backbone_fpn": list(backbone["backbone_fpn"])}
-        return self._crop_fn_cache[key](self.params, decode_bb)
+        return self._crop_fn_cache[key]
 
     # ------------------------------------------------------------------
     # Finalize: cross-crop NMS + top-K + paste, all one device program
@@ -428,22 +423,65 @@ class AutomaticMaskGenerator:
                 "points": pts[sel], "crop_id": crop_id, "valid": sel_valid,
             }
 
-        return jax.jit(finalize)
+        return finalize
 
     # ------------------------------------------------------------------
     # Host orchestration
     # ------------------------------------------------------------------
 
-    def _encode(self, images: np.ndarray):
-        """images: (B, S, S, 3) resized crops → backbone pytree (one
-        jitted program per crop-batch shape — unjitted flax apply runs
-        op-by-op, a separate dispatch per op on the TPU relay)."""
-        if self._encode_jit is None:
-            mcls = type(self.model)
-            self._encode_jit = jax.jit(
-                lambda p, im: self.model.apply({"params": p}, im,
-                                               method=mcls.encode_image))
-        return self._encode_jit(self.params, jnp.asarray(images))
+    def _build_generate_fn(self, h: int, w: int, layer_plan):
+        """ONE jitted program for the whole generate: per layer, crop +
+        resize + normalize (static crop boxes baked in) → encoder → grid
+        sweep; then the cross-crop finalize — a single device dispatch
+        per image geometry.
+
+        The torch AMG re-runs set_image + a Python point loop per crop
+        (21 encoder calls and 21 decode sweeps at crop_n_layers=2); the
+        round-2 pipeline here used ~10 separate programs per image, and
+        on a remote-TPU link every program's first call costs ~45-60 s of
+        load/compile-helper overhead per process — program COUNT, not
+        math, dominated the AMG wall clock.
+
+        layer_plan: tuple of (boxes, n_side, per_crop) per layer, boxes a
+        tuple of static (x0, y0, x1, y1) crops.
+        """
+        cfg = self.cfg
+        model_size = self.model.config.image_size
+        mcls = type(self.model)
+        k_mult = 3 if cfg.multimask_output else 1
+        layer_shapes = tuple(
+            (len(boxes), min(cfg.max_masks, n_side**2 * k_mult))
+            for boxes, n_side, _ in layer_plan)
+        n_tot = sum(c * cap for c, cap in layer_shapes)
+        k_out = min(cfg.max_masks, n_tot)
+        multi_crop = sum(len(b) for b, _, _ in layer_plan) > 1
+        finalize = self._build_finalize_fn(layer_shapes, h, w, k_out,
+                                           multi_crop)
+        mean = jnp.asarray(_IMAGENET_MEAN)
+        std = jnp.asarray(_IMAGENET_STD)
+
+        def gen(params, img):
+            bufs, crop_params = [], []
+            for boxes, n_side, per_crop in layer_plan:
+                resized = jnp.stack([
+                    jax.image.resize(img[c[1]:c[3], c[0]:c[2]],
+                                     (model_size, model_size, 3),
+                                     method="bilinear")
+                    for c in boxes])
+                resized = (resized - mean) / std
+                bb = self.model.apply({"params": params}, resized,
+                                      method=mcls.encode_image)
+                decode_bb = {"vision_features": bb["vision_features"],
+                             "backbone_fpn": list(bb["backbone_fpn"])}
+                buf = self._layer_fn(n_side, per_crop, len(boxes))(
+                    params, decode_bb)
+                bufs.append(buf)
+                crop_params.append(jnp.asarray(
+                    [[c[0], c[1], c[2] - c[0], c[3] - c[1]] for c in boxes],
+                    jnp.float32))
+            return finalize(bufs, crop_params)
+
+        return jax.jit(gen), k_out
 
     def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
         """image: (H, W, 3) float in [0,1] (reference prepare() output).
@@ -454,62 +492,35 @@ class AutomaticMaskGenerator:
         if image.ndim == 2:
             image = np.repeat(image[..., None], 3, axis=2)
         h, w = image.shape[:2]
-        model_size = self.model.config.image_size
 
         crop_boxes, layer_idxs = generate_crop_boxes(
             (h, w), cfg.crop_n_layers, cfg.crop_overlap_ratio)
-
-        # one encoder batch AND one grid-sweep program per layer (the torch
-        # AMG re-runs set_image + a Python point loop per crop — 21 encoder
-        # calls and 21 decode sweeps at crop_n_layers=2)
         by_layer: Dict[int, List[int]] = {}
         for ci, layer in enumerate(layer_idxs):
             by_layer.setdefault(layer, []).append(ci)
 
-        img_dev = jnp.asarray(image, jnp.float32)   # one upload, reused
-        bufs, crop_params, layer_shapes = [], [], []
+        layer_plan = []
         crop_order: List[int] = []                  # finalize crop_id → box
         for layer, cids in sorted(by_layer.items()):
-            # crop + resize + normalize run as ONE jitted program per layer
-            # with the (static) crop boxes baked in — eager per-crop
-            # slicing/resizing cost ~21 separate device dispatches per
-            # image on the TPU relay, where each RPC issue is material
-            boxes_key = tuple(tuple(crop_boxes[i]) for i in cids)
-            rkey = (boxes_key, model_size)
-            if rkey not in self._resize_cache:
-                def build(boxes=boxes_key):
-                    def fn(img):
-                        stk = jnp.stack([
-                            jax.image.resize(img[c[1]:c[3], c[0]:c[2]],
-                                             (model_size, model_size, 3),
-                                             method="bilinear")
-                            for c in boxes])
-                        return ((stk - jnp.asarray(_IMAGENET_MEAN))
-                                / jnp.asarray(_IMAGENET_STD))
-                    return jax.jit(fn)
-                self._resize_cache[rkey] = build()
-            resized = self._resize_cache[rkey](img_dev)
-            bb = self._encode(resized)
             n_side = max(1, cfg.npoints
                          // (cfg.crop_n_points_downscale_factor ** layer))
-            buf = self._run_layer(bb, n_side, len(cids))
-            bufs.append(buf)
-            cp = np.array([[crop_boxes[i][0], crop_boxes[i][1],
-                            crop_boxes[i][2] - crop_boxes[i][0],
-                            crop_boxes[i][3] - crop_boxes[i][1]]
-                           for i in cids], np.float32)
-            crop_params.append(jnp.asarray(cp))
-            layer_shapes.append((len(cids), int(buf["iou"].shape[1])))
+            layer_plan.append((
+                tuple(tuple(crop_boxes[i]) for i in cids), n_side,
+                self._layer_chunk(n_side, len(cids))))
             crop_order.extend(cids)
+        layer_plan = tuple(layer_plan)
 
-        n_tot = sum(c * cap for c, cap in layer_shapes)
-        k_out = min(cfg.max_masks, n_tot)
-        fkey = (tuple(layer_shapes), h, w, k_out)
-        if fkey not in self._finalize_cache:
-            self._finalize_cache[fkey] = self._build_finalize_fn(
-                tuple(layer_shapes), h, w, k_out, len(crop_boxes) > 1)
-        res = jax.tree.map(np.asarray,
-                           self._finalize_cache[fkey](bufs, crop_params))
+        gkey = (h, w, layer_plan, cfg.max_masks, cfg.stability_fullres,
+                cfg.use_m2m, cfg.pred_iou_thresh, cfg.stability_score_thresh,
+                cfg.stability_score_offset, cfg.box_nms_thresh,
+                cfg.multimask_output)
+        if gkey not in self._generate_cache:
+            self._generate_cache[gkey] = self._build_generate_fn(
+                h, w, layer_plan)
+        gen_fn, k_out = self._generate_cache[gkey]
+
+        img_dev = jnp.asarray(image, jnp.float32)   # one upload
+        res = jax.tree.map(np.asarray, gen_fn(self.params, img_dev))
 
         out: List[Dict[str, Any]] = []
         for j in range(k_out):

@@ -363,6 +363,10 @@ def build_sam2(cfg_name: str = "tiny", image_size: int = 1024,
         dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
         pts = jnp.zeros((1, 1, 2), jnp.float32)
         lbl = jnp.ones((1, 1), jnp.int32)
-        params = model.init(rng, dummy, pts, lbl)["params"]
+        # jit the init: eager flax init runs the whole forward op-by-op —
+        # thousands of separate dispatches on a remote-TPU link (~6 min of
+        # pure RPC issue for hiera-large). One compiled program instead,
+        # persistently cached across processes.
+        params = jax.jit(model.init)(rng, dummy, pts, lbl)["params"]
     params = bake_pos_embed(params, config)
     return model, params

@@ -486,7 +486,9 @@ def build_sam3(cfg_name: str = "large", image_size: Optional[int] = None,
                           jnp.float32)
         toks = jnp.zeros((1, config.context_length), jnp.int32)
         toks = toks.at[0, 0].set(1)
-        params = model.init(rng, dummy, toks)["params"]
+        # jitted init: one compiled program instead of op-by-op dispatch
+        # (material on remote-TPU links; see build_sam2)
+        params = jax.jit(model.init)(rng, dummy, toks)["params"]
     return model, params
 
 

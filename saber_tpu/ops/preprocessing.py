@@ -71,6 +71,7 @@ def contrast(image: jnp.ndarray, std_cutoff: float = 5.0, size: int = 500) -> jn
     return jnp.clip(out, -std_cutoff, std_cutoff)
 
 
+@partial(jax.jit, static_argnames=("rgb",))
 def normalize(image: jnp.ndarray, rgb: bool = False) -> jnp.ndarray:
     """Min-max normalize to [0,1] (reference preprocessing.py:20-37)."""
     image = jnp.asarray(image, jnp.float32)
@@ -83,6 +84,7 @@ def normalize(image: jnp.ndarray, rgb: bool = False) -> jnp.ndarray:
     return (image - mn) / (mx - mn + 1e-8)
 
 
+@partial(jax.jit, static_argnames=("zSlice", "deltaZ"))
 def project_tomogram(vol: jnp.ndarray, zSlice: int | None = None, deltaZ: int | None = None) -> jnp.ndarray:
     """Mean z-projection of a slab (reference preprocessing.py:39-65)."""
     vol = jnp.asarray(vol)
@@ -95,6 +97,7 @@ def project_tomogram(vol: jnp.ndarray, zSlice: int | None = None, deltaZ: int | 
     return jnp.mean(vol, axis=0)
 
 
+@partial(jax.jit, static_argnames=("to_rgb",))
 def prepare(image: jnp.ndarray, to_rgb: bool = False) -> jnp.ndarray:
     """contrast(3) → normalize → optional RGB (reference preprocessing.py:67-81)."""
     image = contrast(image, std_cutoff=3)

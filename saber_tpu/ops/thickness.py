@@ -126,9 +126,19 @@ def fit_organelle_boundaries(frame_scores: np.ndarray, plot: bool = False) -> np
     Returns:
         (nFrames, nMasks) fitted presence curves (0 where no fit succeeded).
     """
-    scores = jnp.asarray(frame_scores, jnp.float32)
-    if scores.ndim != 2:
-        raise ValueError(f"expected (nFrames, nMasks), got {scores.shape}")
-    if scores.shape[1] == 0:
-        return np.zeros_like(np.asarray(frame_scores))
-    return np.asarray(_fit_batch(scores))
+    frame_scores = np.asarray(frame_scores, np.float32)
+    if frame_scores.ndim != 2:
+        raise ValueError(
+            f"expected (nFrames, nMasks), got {frame_scores.shape}")
+    if frame_scores.shape[1] == 0:
+        return np.zeros_like(frame_scores)
+    # the fit is tiny ((Z, n_obj) inputs) — pin it to the local CPU
+    # backend so it never costs a remote-accelerator program load
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return np.asarray(_fit_batch(jnp.asarray(frame_scores)))
+    return np.asarray(_fit_batch(jnp.asarray(frame_scores)))
