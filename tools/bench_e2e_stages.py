@@ -90,9 +90,21 @@ def main():
     seed = np.stack([m["segmentation"] for m in masks]) if masks else \
         np.zeros((1, side, side), np.float32)
     out = seg.adapter.segment_volume(zc, masks=seed, min_presence_score=0.0)
-    mark("segment_volume (seed + 2 fused dirs + fit + expand)")
+    mark("segment_volume (first call: program loads + exec)")
+    seg.adapter.reset_state()
+    out = seg.adapter.segment_volume(zc, masks=seed, min_presence_score=0.0)
+    mark("segment_volume (warm)")
+    warm = (["volume upload", "smooth + normalize",
+             "project + prepare (+download)", "AMG generate (warm)",
+             "segment_volume (warm)"])
+    d = dict((n, t) for (n, t) in
+             ((marks[i][0], marks[i][1] - marks[i - 1][1])
+              for i in range(1, len(marks))))
     print(f"  labels: {out.max()}  total: "
           f"{marks[-1][1] - marks[0][1]:.2f} s")
+    print(f"  WARM e2e (upload+pre+AMG+segvol): "
+          f"{sum(d[n] for n in warm):.2f} s  "
+          f"(compute-only, no upload: {sum(d[n] for n in warm[1:]):.2f} s)")
 
 
 if __name__ == "__main__":
