@@ -99,6 +99,7 @@ class SAM2Adapter(BaseAdapter):
     mesh = None
     _dir_jit = None
     _dir_jit_chunk = None
+    _multi_seed_jits = None        # lazily becomes a per-INSTANCE dict
     _mask_generator = None
     _mask_generator_cfg = None
 
@@ -313,6 +314,52 @@ class SAM2Adapter(BaseAdapter):
 
         self._seed_jit = jax.jit(run)
         return self._seed_jit
+
+    def _multi_seed_program(self, s_pad: int, cap: int):
+        """Fused multi-seed: gather the unique seed slices → slab
+        preprocess → encoder (in ``encode_chunk`` groups under ``lax.map``
+        so peak memory matches the direction program) → per-object feature
+        gather → batched seed. One device program where the eager path
+        dispatches ~S/chunk encoder programs plus op-by-op concat/gather
+        (each distinct program costs ~45-60 s of first-call loader
+        overhead on the TPU relay — CLAUDE.md relay facts).
+
+        s_pad: padded unique-seed-frame count (static); cap: padded object
+        capacity (static). Cached per (s_pad, cap).
+        """
+        key = (s_pad, cap)
+        if self._multi_seed_jits is None:
+            self._multi_seed_jits = {}    # instance attr, not class-shared
+        if key in self._multi_seed_jits:
+            return self._multi_seed_jits[key]
+        core = self.core
+        size = self.model.config.image_size
+        prepare = self.preprocessor.prepare_slab
+        chunk = min(self.encode_chunk, s_pad)
+
+        def run(params, volume, vmin, vmax, frame_idxs, slot_of_obj,
+                masks, cond, valid):
+            slab = jnp.take(volume, frame_idxs, axis=0)
+            imgs = prepare(slab, vmin, vmax, size)
+            if s_pad > chunk:
+                n_g = -(-s_pad // chunk)
+                pad = n_g * chunk - s_pad
+                if pad:
+                    imgs = jnp.concatenate(
+                        [imgs, jnp.repeat(imgs[-1:], pad, axis=0)], axis=0)
+                bb_g = jax.lax.map(
+                    lambda im: core.encode_batch(params, im),
+                    imgs.reshape(n_g, chunk, *imgs.shape[1:]))
+                bb_u = jax.tree.map(
+                    lambda x: x.reshape(-1, *x.shape[2:])[:s_pad], bb_g)
+            else:
+                bb_u = core.encode_batch(params, imgs)
+            bb_obj = jax.tree.map(lambda x: x[slot_of_obj], bb_u)
+            pstate = init_state(cap, core.cfg)
+            return core.seed(params, bb_obj, masks, cond, pstate, valid)
+
+        self._multi_seed_jits[key] = jax.jit(run)
+        return self._multi_seed_jits[key]
 
     def propagate_in_video(self, start_frame_idx, max_frame_num_to_track=None,
                            reverse=False, inference_state=None) -> Iterator:
@@ -592,14 +639,6 @@ class SAM2Adapter(BaseAdapter):
         seed_frames = sorted({f for f, _ in objs})
         frame_slot = {f: i for i, f in enumerate(seed_frames)}
 
-        # encode the unique seed frames (chunked), gather per object slot
-        bbs = []
-        for s0 in range(0, len(seed_frames), self.encode_chunk):
-            imgs = self._frames_for(state, seed_frames[s0:s0 + self.encode_chunk])
-            bbs.append(self.core.encode_batch(self.params, imgs))
-        bb_u = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim == 4 else xs[0],
-            *bbs)
         slot_of_obj = np.zeros((cap,), np.int32)
         masks_arr = np.zeros((cap, size, size), np.float32)
         cond_arr = np.zeros((cap,), np.int32)
@@ -609,13 +648,40 @@ class SAM2Adapter(BaseAdapter):
             masks_arr[k] = m
             cond_arr[k] = f
             valid_arr[k] = True
-        bb_obj = jax.tree.map(
-            lambda x: x[jnp.asarray(slot_of_obj)] if x.ndim == 4 else x, bb_u)
 
-        pstate = init_state(cap, self.core.cfg)
-        pstate, seed_logits = self.core.seed(
-            self.params, bb_obj, jnp.asarray(masks_arr),
-            jnp.asarray(cond_arr), pstate, jnp.asarray(valid_arr))
+        use_fused = self._use_fused_direction(state)
+        if use_fused:
+            # one program: gather + preprocess + encode + gather + seed
+            # (seed-frame count pads to a multiple of 4 to bound recompiles)
+            s_pad = -4 * (-len(seed_frames) // 4)
+            fidx_p = np.asarray(
+                seed_frames + [seed_frames[-1]] * (s_pad - len(seed_frames)),
+                np.int32)
+            pstate, seed_logits = self._multi_seed_program(s_pad, cap)(
+                self.params, state["volume"],
+                jnp.asarray(state["vmin"], jnp.float32),
+                jnp.asarray(state["vmax"], jnp.float32),
+                jnp.asarray(fidx_p), jnp.asarray(slot_of_obj),
+                jnp.asarray(masks_arr), jnp.asarray(cond_arr),
+                jnp.asarray(valid_arr))
+        else:
+            # encode the unique seed frames (chunked), gather per object slot
+            bbs = []
+            for s0 in range(0, len(seed_frames), self.encode_chunk):
+                imgs = self._frames_for(
+                    state, seed_frames[s0:s0 + self.encode_chunk])
+                bbs.append(self.core.encode_batch(self.params, imgs))
+            bb_u = jax.tree.map(
+                lambda *xs: (jnp.concatenate(xs, axis=0)
+                             if xs[0].ndim == 4 else xs[0]),
+                *bbs)
+            bb_obj = jax.tree.map(
+                lambda x: x[jnp.asarray(slot_of_obj)] if x.ndim == 4 else x,
+                bb_u)
+            pstate = init_state(cap, self.core.cfg)
+            pstate, seed_logits = self.core.seed(
+                self.params, bb_obj, jnp.asarray(masks_arr),
+                jnp.asarray(cond_arr), pstate, jnp.asarray(valid_arr))
 
         span_val = float(max_frame_num_to_track
                          if max_frame_num_to_track is not None else z)
@@ -624,7 +690,6 @@ class SAM2Adapter(BaseAdapter):
         lowlab = np.zeros((z, low, low), np.uint16)
         frame_scores = np.full((z, cap), -20.0, np.float32)
 
-        use_fused = self._use_fused_direction(state)
         pending = []      # async-dispatched programs; one host sync at end
         for reverse in (False, True):
             if reverse:

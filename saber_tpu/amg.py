@@ -483,16 +483,14 @@ class AutomaticMaskGenerator:
 
         return jax.jit(gen), k_out
 
-    def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
-        """image: (H, W, 3) float in [0,1] (reference prepare() output).
+    def _make_plan(self, h: int, w: int):
+        """Static per-layer crop/grid plan for an (h, w) image.
 
-        Returns the reference mask-dict list sorted by predicted IoU.
+        Returns (layer_plan, crop_boxes, crop_order): layer_plan is the
+        tuple consumed by ``_build_generate_fn``; crop_order maps the
+        finalize's flat crop_id back into ``crop_boxes``.
         """
         cfg = self.cfg
-        if image.ndim == 2:
-            image = np.repeat(image[..., None], 3, axis=2)
-        h, w = image.shape[:2]
-
         crop_boxes, layer_idxs = generate_crop_boxes(
             (h, w), cfg.crop_n_layers, cfg.crop_overlap_ratio)
         by_layer: Dict[int, List[int]] = {}
@@ -508,7 +506,18 @@ class AutomaticMaskGenerator:
                 tuple(tuple(crop_boxes[i]) for i in cids), n_side,
                 self._layer_chunk(n_side, len(cids))))
             crop_order.extend(cids)
-        layer_plan = tuple(layer_plan)
+        return tuple(layer_plan), crop_boxes, crop_order
+
+    def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
+        """image: (H, W, 3) float in [0,1] (reference prepare() output).
+
+        Returns the reference mask-dict list sorted by predicted IoU.
+        """
+        cfg = self.cfg
+        if image.ndim == 2:
+            image = np.repeat(image[..., None], 3, axis=2)
+        h, w = image.shape[:2]
+        layer_plan, crop_boxes, crop_order = self._make_plan(h, w)
 
         gkey = (h, w, layer_plan, cfg.max_masks, cfg.stability_fullres,
                 cfg.use_m2m, cfg.pred_iou_thresh, cfg.stability_score_thresh,
@@ -526,10 +535,10 @@ class AutomaticMaskGenerator:
         for j in range(k_out):
             if not res["valid"][j]:
                 continue
-            seg = np.unpackbits(res["packed"][j], axis=-1, count=w).astype(bool)
             bx = res["boxes"][j]
             out.append({
-                "segmentation": seg,
+                "segmentation": None,       # unpacked after the filters
+                "_packed": res["packed"][j],
                 "area": int(res["area"][j]),
                 "bbox": [float(bx[0]), float(bx[1]),
                          float(bx[2] - bx[0]), float(bx[3] - bx[1])],
@@ -540,7 +549,14 @@ class AutomaticMaskGenerator:
                              crop_boxes[crop_order[int(res["crop_id"][j])]]],
             })
 
+        # the filters read only bbox/area, so unpack the full-res bitmask
+        # ONLY for survivors: at K=256 the unpackbits of every candidate
+        # (256 MB of boolean writes) dominated generate() wall clock on
+        # slow hosts — the device math is ~2 s (tools/bench_amg_breakdown.py)
         out = self._apply_filters(out, h, w)
+        for m in out:
+            m["segmentation"] = np.unpackbits(
+                m.pop("_packed"), axis=-1, count=w).astype(bool)
         out.sort(key=lambda m: m["predicted_iou"], reverse=True)
         return out
 

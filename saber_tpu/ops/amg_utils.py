@@ -10,6 +10,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def batched_mask_to_box(masks: jnp.ndarray) -> jnp.ndarray:
@@ -57,6 +58,37 @@ def bilinear_up_matrix(n_out: int, n_in: int) -> jnp.ndarray:
         0.0, 1.0 - jnp.abs(u[:, None] - jnp.arange(n_in, dtype=jnp.float32)))
 
 
+def _phase_counts(m: jnp.ndarray, f: int, t_hi: float, t_lo: float):
+    """Threshold counts of the ×f bilinear upscale WITHOUT materializing it.
+
+    Output sample f·i+r interpolates inputs i+⌊u⌋, i+⌊u⌋+1 at fixed
+    fractional weight u−⌊u⌋ where u=(r+0.5)/f−0.5 — so the (n, f·S, f·S)
+    upscale decomposes into f² phase maps, each a 4-tap blend of shifted
+    (n, S, S) views (edge-pad reproduces the clamp exactly; verified vs
+    the matrix form to fp32 rounding). Per mask this is ~16·9·S² VPU ops
+    instead of two dense (f·S, S) MXU matmuls — ~80× fewer FLOPs, and no
+    (n, f·S, f·S) intermediate ever exists.
+    """
+    n, s_in = m.shape[0], m.shape[1]
+    mf = m.astype(jnp.float32)
+    mp = jnp.pad(mf, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    hi = jnp.zeros((n,), jnp.float32)
+    lo = jnp.zeros((n,), jnp.float32)
+    taps = []
+    for r in range(f):
+        u = (r + 0.5) / f - 0.5
+        taps.append((int(np.floor(u)), u - np.floor(u)))
+    for lo_r, w_r in taps:
+        rowmix = ((1.0 - w_r) * mp[:, 1 + lo_r:1 + lo_r + s_in, :]
+                  + w_r * mp[:, 2 + lo_r:2 + lo_r + s_in, :])
+        for lo_c, w_c in taps:
+            phase = ((1.0 - w_c) * rowmix[:, :, 1 + lo_c:1 + lo_c + s_in]
+                     + w_c * rowmix[:, :, 2 + lo_c:2 + lo_c + s_in])
+            hi += jnp.sum(phase > t_hi, axis=(-2, -1), dtype=jnp.float32)
+            lo += jnp.sum(phase > t_lo, axis=(-2, -1), dtype=jnp.float32)
+    return hi, lo
+
+
 def calculate_stability_score_fullres(mask_logits: jnp.ndarray, out_size: int,
                                       mask_threshold: float,
                                       threshold_offset: float,
@@ -68,11 +100,32 @@ def calculate_stability_score_fullres(mask_logits: jnp.ndarray, out_size: int,
     ``_process_batch``, built at saber/adapters/sam2/automask.py:66-78);
     near the 0.92 gate the low-res and full-res scores can differ by up
     to ~0.2 (tests/test_amg_golden.py pins the delta), so the pipeline
-    scores full-res by default. The upscale is two MXU matmuls per mask;
-    only the two threshold COUNTS survive, so the (chunk, out, out)
-    canvases never leave VMEM-friendly chunks (``lax.map``).
+    scores full-res by default. Only the two threshold COUNTS of the
+    upscaled map survive: the integer-factor path computes them phase-
+    decomposed (``_phase_counts``) with no full-res intermediate; the
+    generic path falls back to interpolation matmuls chunked through
+    ``lax.map``.
     """
     n, h, w = mask_logits.shape
+    t_hi = mask_threshold + threshold_offset
+    t_lo = mask_threshold - threshold_offset
+
+    if h == w and out_size % h == 0:
+        f = out_size // h
+        if f == 1:
+            return calculate_stability_score(
+                mask_logits, mask_threshold, threshold_offset)
+        pad = (-n) % chunk
+        padded = jnp.concatenate(
+            [mask_logits,
+             jnp.full((pad, h, w), -1e4, mask_logits.dtype)], 0) if pad \
+            else mask_logits
+        hi, lo = jax.lax.map(
+            lambda m: _phase_counts(m, f, t_hi, t_lo),
+            padded.reshape(-1, chunk, h, w))
+        hi, lo = hi.reshape(-1)[:n], lo.reshape(-1)[:n]
+        return jnp.where(lo > 0, hi / lo, 1.0)
+
     a = bilinear_up_matrix(out_size, h)
     pad = (-n) % chunk
     padded = jnp.concatenate(
@@ -83,10 +136,8 @@ def calculate_stability_score_fullres(mask_logits: jnp.ndarray, out_size: int,
     def counts(m):
         up = jnp.einsum("Hh,khw->kHw", a, m.astype(jnp.float32))
         up = jnp.einsum("Ww,kHw->kHW", a, up)
-        hi = jnp.sum(up > (mask_threshold + threshold_offset), axis=(-2, -1),
-                     dtype=jnp.float32)
-        lo = jnp.sum(up > (mask_threshold - threshold_offset), axis=(-2, -1),
-                     dtype=jnp.float32)
+        hi = jnp.sum(up > t_hi, axis=(-2, -1), dtype=jnp.float32)
+        lo = jnp.sum(up > t_lo, axis=(-2, -1), dtype=jnp.float32)
         return hi, lo
 
     hi, lo = jax.lax.map(counts, padded.reshape(-1, chunk, h, w))

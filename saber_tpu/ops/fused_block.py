@@ -39,16 +39,27 @@ def _interpret() -> bool:
 
 
 def _erf(x):
-    """Abramowitz–Stegun 7.1.26 rational erf, |error| ≤ 1.5e-7 (Pallas
-    TPU lowering has no erf/erfc primitive)."""
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    pp = 0.3275911
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + pp * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+    """Rational-minimax erf (Eigen/XLA f32 scheme), |error| ≤ 4.2e-7.
+
+    Pallas TPU lowering has no erf primitive. Replaces the earlier
+    Abramowitz–Stegun 7.1.26 form: same accuracy class but NO exp —
+    12 fma + 1 divide. Encoder A/B measured neutral (39.8 slices/s both
+    ways: Mosaic pipelines grid steps, hiding the GELU's VPU time under
+    the next step's GEMM), kept for the lower VPU pressure.
+    """
+    xc = jnp.clip(x, -3.832506856900711, 3.832506856900711)
+    x2 = xc * xc
+    a = jnp.float32(-2.72614225801306e-10)
+    for c in (2.77068142495902e-08, -2.10102402082508e-06,
+              -5.69250639462346e-05, -7.34990630326855e-04,
+              -2.95459980854025e-03, -1.60960333262415e-02):
+        a = a * x2 + jnp.float32(c)
+    a = a * xc
+    b = jnp.float32(-1.45660718464996e-05)
+    for c in (-2.13374055278905e-04, -1.68282697438203e-03,
+              -7.37332916720468e-03, -1.42647390514189e-02):
+        b = b * x2 + jnp.float32(c)
+    return a / b
 
 
 def _gelu_exact(x):

@@ -110,3 +110,23 @@ def test_amg_filters(tiny, rng):
     assert amg.generate(img) == []  # everything filtered by absurd area bound
     amg.set_filters(min_area_filter=0)
     assert amg.min_area_filter == 0
+
+
+def test_fullres_stability_phase_matches_matrix(rng):
+    """The phase-decomposed integer-factor path (amg_utils._phase_counts)
+    must agree with the generic interpolation-matrix path — same bilinear
+    half-pixel rule, same threshold counts."""
+    from saber_tpu.ops.amg_utils import (bilinear_up_matrix,
+                                         calculate_stability_score_fullres)
+    n, s, out = 9, 32, 128
+    logits = jnp.asarray(rng.standard_normal((n, s, s)).astype(np.float32))
+    got = np.asarray(
+        calculate_stability_score_fullres(logits, out, 0.0, 1.0, chunk=4))
+
+    a = np.asarray(bilinear_up_matrix(out, s))
+    up = np.einsum("Hh,khw->kHw", a, np.asarray(logits))
+    up = np.einsum("Ww,kHw->kHW", a, up)
+    hi = (up > 1.0).sum(axis=(-2, -1)).astype(np.float32)
+    lo = (up > -1.0).sum(axis=(-2, -1)).astype(np.float32)
+    want = np.where(lo > 0, hi / np.maximum(lo, 1), 1.0)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
