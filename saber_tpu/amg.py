@@ -469,8 +469,12 @@ class AutomaticMaskGenerator:
                                      method="bilinear")
                     for c in boxes])
                 resized = (resized - mean) / std
+                # encode_video_frames = encode_image + the decoder's
+                # conv_s0/s1 skip projections, applied ONCE per crop —
+                # the grid sweep's scan body would otherwise re-project
+                # the 256-channel maps every prompt chunk
                 bb = self.model.apply({"params": params}, resized,
-                                      method=mcls.encode_image)
+                                      method=mcls.encode_video_frames)
                 decode_bb = {"vision_features": bb["vision_features"],
                              "backbone_fpn": list(bb["backbone_fpn"])}
                 buf = self._layer_fn(n_side, per_crop, len(boxes))(

@@ -168,20 +168,39 @@ class MaskDecoder(nn.Module):
     def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt,
                  high_res_features: Optional[Sequence[jnp.ndarray]] = None,
                  multimask_output: bool = True,
-                 dynamic_multimask: bool = True):
+                 dynamic_multimask: bool = True,
+                 project_high_res_only: bool = False):
         """
         Args:
             image_embeddings: (B, H, W, C) /16 features.
             image_pe: (H, W, C) dense positional encoding.
             sparse_prompt: (B, N, C); dense_prompt: (B, H, W, C).
-            high_res_features: [(B, 4H, 4W, C0'), (B, 2H, 2W, C1')] 256-chan
-                /4 and /8 skips (projected internally).
+            high_res_features: [(B, 4H, 4W, C0'), (B, 2H, 2W, C1')] /4 and
+                /8 skips — either raw 256-channel FPN maps (projected here
+                through conv_s0/s1) or ALREADY-projected C/8- and
+                C/4-channel maps (detected by channel count and used
+                as-is). Projecting once per frame at encode time is the
+                torch layout (SAM2Base._forward_image applies
+                sam_mask_decoder.conv_s0/s1 right after the trunk); doing
+                it per decode re-ran the convs on a per-object/per-prompt
+                broadcast of the 256-channel maps every tracking step and
+                every AMG sweep chunk.
+            project_high_res_only: return just the projected
+                (feat_s0, feat_s1) pair — the encode-time entry point
+                (SAM2.project_high_res). Uses the same conv_s0/s1 params.
         Returns:
             masks (B, K, 4H*4, 4W*4), iou_pred (B, K), sam_tokens (B, K, C),
             object_score_logits (B, 1).
         """
-        b = sparse_prompt.shape[0]
         c = self.transformer_dim
+        if project_high_res_only:
+            feat_s0, feat_s1 = high_res_features
+            return (nn.Conv(c // 8, (1, 1), dtype=self.dtype,
+                            name="conv_s0")(feat_s0),
+                    nn.Conv(c // 4, (1, 1), dtype=self.dtype,
+                            name="conv_s1")(feat_s1))
+
+        b = sparse_prompt.shape[0]
 
         iou_token = self.param("iou_token", nn.initializers.normal(1.0), (1, c))
         mask_tokens = self.param("mask_tokens", nn.initializers.normal(1.0),
@@ -213,14 +232,18 @@ class MaskDecoder(nn.Module):
                               transpose_kernel=True, name="upscale_conv1")(src_img)
         if self.use_high_res_features and high_res_features is not None:
             feat_s0, feat_s1 = high_res_features
-            feat_s1 = nn.Conv(c // 4, (1, 1), dtype=self.dtype, name="conv_s1")(feat_s1)
+            if feat_s1.shape[-1] != c // 4:     # raw 256-ch FPN: project
+                feat_s1 = nn.Conv(c // 4, (1, 1), dtype=self.dtype,
+                                  name="conv_s1")(feat_s1)
             up = up + feat_s1
         up = LayerNormFast(name="upscale_ln")(up)
         up = nn.gelu(up, approximate=False)
         up = nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
                               transpose_kernel=True, name="upscale_conv2")(up)
         if self.use_high_res_features and high_res_features is not None:
-            feat_s0 = nn.Conv(c // 8, (1, 1), dtype=self.dtype, name="conv_s0")(feat_s0)
+            if feat_s0.shape[-1] != c // 8:     # raw 256-ch FPN: project
+                feat_s0 = nn.Conv(c // 8, (1, 1), dtype=self.dtype,
+                                  name="conv_s0")(feat_s0)
             up = up + feat_s0
         up = nn.gelu(up, approximate=False)  # (B, 4h, 4w, c/8)
 

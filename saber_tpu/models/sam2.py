@@ -166,6 +166,30 @@ class SAM2(nn.Module):
         out = self.image_encoder(images.astype(self.config.dtype))
         return out
 
+    def project_high_res(self, backbone: Dict[str, Any]) -> Dict[str, Any]:
+        """Apply the decoder's high-res skip projections (conv_s0/s1) to
+        backbone_fpn[0:2] ONCE per frame — torch SAM2Base._forward_image
+        parity: torch projects right after the image encoder, not per
+        decode. Shrinks the per-frame /4 skip 8× (256→32 ch) and /8 skip
+        4×, so the video scan's per-frame gathers, the per-object
+        broadcasts in models/video.step, and the AMG sweep stop paying
+        for 256-channel maps (a (256,4,256,256) bf16 broadcast per slice
+        — 134 MB — in the round-3 device trace). ``decode`` detects
+        projected features by channel count, so both raw and projected
+        backbones stay valid inputs everywhere."""
+        fpn = list(backbone["backbone_fpn"])
+        f0, f1 = self.sam_mask_decoder(
+            None, None, None, None, high_res_features=[fpn[0], fpn[1]],
+            project_high_res_only=True)
+        out = dict(backbone)
+        out["backbone_fpn"] = [f0, f1] + fpn[2:]
+        return out
+
+    def encode_video_frames(self, images: jnp.ndarray) -> Dict[str, Any]:
+        """encode_image + project_high_res: the per-frame feature set the
+        video propagation scan consumes."""
+        return self.project_high_res(self.encode_image(images))
+
     def decode(self, backbone: Dict[str, Any],
                points: Optional[jnp.ndarray] = None,
                labels: Optional[jnp.ndarray] = None,

@@ -94,9 +94,13 @@ class VideoCore:
 
     @partial(jax.jit, static_argnums=0)
     def encode_batch(self, params, images: jnp.ndarray):
-        """images: (F, S, S, 3) → backbone pytree (batched over frames)."""
+        """images: (F, S, S, 3) → backbone pytree (batched over frames).
+
+        High-res skips come back PROJECTED (conv_s0/s1 applied once per
+        frame — SAM2.project_high_res): fpn0 is C/8 and fpn1 C/4 channels,
+        which the decoder consumes as-is."""
         return self.model.apply({"params": params}, images,
-                                method=_M(self.model).encode_image)
+                                method=_M(self.model).encode_video_frames)
 
     # -- seeding ---------------------------------------------------------
 
@@ -203,8 +207,8 @@ class VideoCore:
         """Backbone pytree → minimal per-frame feature dict for the scan."""
         return {
             "vision": backbone_slab["vision_features"],      # (F, fs, fs, 256)
-            "fpn0": backbone_slab["backbone_fpn"][0],        # (F, 4fs, 4fs, 256)
-            "fpn1": backbone_slab["backbone_fpn"][1],        # (F, 2fs, 2fs, 256)
+            "fpn0": backbone_slab["backbone_fpn"][0],   # (F, 4fs, 4fs, C/8)
+            "fpn1": backbone_slab["backbone_fpn"][1],   # (F, 2fs, 2fs, C/4)
         }
 
     @partial(jax.jit, static_argnums=0)
@@ -233,16 +237,19 @@ class VideoCore:
         fs = cfg.feat_size
         t = fs * fs
 
+        # batch-1 image features: frame features are object-independent,
+        # so the decoder's skip adds and the memory encoder's pix-feat
+        # projection broadcast them lazily against the B-object tensors
+        # inside their fusions instead of materializing per-object copies
+        # (the (256, B, 256, 256) fpn broadcast was 134 MB/slice in the
+        # round-3 device trace; the AMG sweep uses the same trick)
+        vision1 = frame["vision"][None]                      # (1, fs, fs, 256)
         backbone_b = {
-            "vision_features": jnp.broadcast_to(
-                frame["vision"][None], (b, *frame["vision"].shape)),
-            "backbone_fpn": [
-                jnp.broadcast_to(frame["fpn0"][None], (b, *frame["fpn0"].shape)),
-                jnp.broadcast_to(frame["fpn1"][None], (b, *frame["fpn1"].shape)),
-            ],
+            "vision_features": vision1,
+            "backbone_fpn": [frame["fpn0"][None], frame["fpn1"][None]],
         }
-        vision = backbone_b["vision_features"]               # (B, fs, fs, 256)
-        vis_tokens = vision.reshape(b, t, cfg.d_model)
+        vis_tokens = jnp.broadcast_to(
+            vision1.reshape(1, t, cfg.d_model), (b, t, cfg.d_model))
         vis_pos = position_embedding_sine(fs, fs, cfg.d_model).reshape(1, t, cfg.d_model)
         vis_pos = jnp.broadcast_to(vis_pos, (b, t, cfg.d_model)).astype(vis_tokens.dtype)
 
@@ -265,11 +272,14 @@ class VideoCore:
         obj_ptr = self.model.apply({"params": params}, sam_tokens[:, 0],
                                    method=_M(self.model).project_obj_ptr)
 
-        # encode new memory from the predicted mask at full resolution
+        # encode new memory from the predicted mask at full resolution.
+        # Resize in the model compute dtype: the (B, S, S, 1) canvases are
+        # pure HBM traffic into the (bf16) mask downsampler — fp32 here
+        # doubled the bytes for no accuracy the conv stack can use.
         size = cfg.image_size
-        high = jax.image.resize(low_logits[..., None],
+        high = jax.image.resize(low_logits[..., None].astype(cfg.dtype),
                                 (b, size, size, 1), method="bilinear")
-        mem = self.model.apply({"params": params}, vision, high, obj_logits,
+        mem = self.model.apply({"params": params}, vision1, high, obj_logits,
                                method=_M(self.model).encode_memory)
 
         # per-object activation: strictly beyond the cond frame in scan

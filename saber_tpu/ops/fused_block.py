@@ -25,6 +25,7 @@ block. Non-qualifying blocks fall back to the flax path.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -328,16 +329,26 @@ def _hidden_chunks(hid: int, target: int = 1024):
     return out or [hid]
 
 
+# measured on hiera-L/1024 (v5e): 12 MB → 39.8 slices/s, 13.5 → 40.5,
+# 14.5 → 40.8 in the ENCODER bench — but both raised values OOM the
+# 16 MB scoped-vmem limit when the same stage-4 kernel compiles inside
+# the fused-direction scan (Mosaic stack temps exceed the footprint
+# model by up to ~4 MB there), so the shipped default stays at the
+# known-safe 12; the knob remains for standalone-encoder tuning
+_MLP_BUDGET = int(float(os.environ.get("SABER_MLP_VMEM_MB", "12")) * 2**20)
+
+
 def _pick_mlp_blocks(m: int, c: int, hid: int, xbytes: int,
-                     budget: int = 12 * 2**20):
+                     budget: int = 0):
+    budget = budget or _MLP_BUDGET
     """Largest (row tile, hidden chunk) whose VMEM footprint fits.
 
     Footprint model: double-buffered x/out tiles and w1/w2 blocks, the
     LN scratch, fp32 accumulator, and the fp32 hidden intermediate. Row
     tile is prioritized — weight re-streaming scales with m/tm, so a
-    bigger tm saves far more HBM traffic than a bigger hc. The 12 MB
-    budget leaves headroom under the 16 MB scoped-vmem limit (stack
-    temps, Mosaic padding)."""
+    bigger tm saves far more HBM traffic than a bigger hc. The default
+    budget (``SABER_MLP_VMEM_MB``, see ``_MLP_BUDGET``) leaves headroom
+    under the 16 MB scoped-vmem limit (stack temps, Mosaic padding)."""
     fallback = None
     # pass 1: whole hidden dim resident (hc == hid → constant weight block
     # index → Pallas fetches w1/w2 once, single-buffered, for the entire

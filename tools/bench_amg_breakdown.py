@@ -61,7 +61,7 @@ def build_split(amg, h, w, layer_plan):
                 for c in boxes])
             resized = (resized - mean) / std
             bb = amg.model.apply({"params": params}, resized,
-                                 method=mcls.encode_image)
+                                 method=mcls.encode_video_frames)
             decode_bb = {"vision_features": bb["vision_features"],
                          "backbone_fpn": list(bb["backbone_fpn"])}
             buf = amg._layer_fn(n_side, per_crop, len(boxes))(
