@@ -80,15 +80,21 @@ class MultiScaleAttention(nn.Module):
         # to 1×1 convolutions with layout-transition copies; on (N, C) it
         # is a plain GEMM
         xt = x.reshape(b, h * w, x.shape[-1])
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(xt)  # (B,T,3C)
-        # contiguous last-dim splits (the (…,3,heads,hd) reshape + index
-        # pattern lowers to strided copies; these are free slices).
-        # NOTE: torch packs qkv as (3, heads, hd) along the output axis, so
-        # the converter's qkv kernel must match this [q|k|v] layout — it
-        # does: torch weight rows are ordered q,k,v too.
-        q = qkv[..., :d].reshape(b, h * w, self.num_heads, head_dim)
-        k = qkv[..., d:2 * d].reshape(b, h * w, self.num_heads, head_dim)
-        v = qkv[..., 2 * d:].reshape(b, h * w, self.num_heads, head_dim)
+        # q/k/v as three GEMMs over STATIC weight slices of the packed
+        # "qkv" kernel: slicing the (B, T, 3C) activation instead put the
+        # k/v splits at lane offsets C, 2C (576, 1152 — not 128-aligned
+        # for hiera-L stage 3), which lowered to strided relayout copies
+        # worth ~1.4 ms/slice in the round-3 device trace. Same param
+        # tree as nn.Dense(3C, name="qkv") (torch packs rows q,k,v too —
+        # the converter's layout rule is unchanged).
+        kern, bias = _DenseParams(xt.shape[-1], 3 * d, name="qkv")()
+        dt = self.dtype
+        xt_ = xt.astype(dt)
+        q, k, v = (
+            (xt_ @ kern[:, i * d:(i + 1) * d].astype(dt)
+             + bias[i * d:(i + 1) * d].astype(dt))
+            .reshape(b, h * w, self.num_heads, head_dim)
+            for i in range(3))
 
         if self.q_stride is not None:
             sh, sw = self.q_stride

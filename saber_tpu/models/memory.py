@@ -111,13 +111,50 @@ class RoPEAttention(nn.Module):
     @nn.compact
     def __call__(self, q, k, v, num_k_exclude_rope: int = 0,
                  attn_bias: Optional[jnp.ndarray] = None):
+        import os
+
+        import jax
+        import numpy as np
+
         internal = self.embedding_dim // self.downsample_rate
         head_dim = internal // self.num_heads
-        qp = nn.Dense(internal, dtype=self.dtype, name="q_proj")(q)
-        kp = nn.Dense(internal, dtype=self.dtype, name="k_proj")(k)
+        b, tq = q.shape[:2]
+        tk = k.shape[1]
+        use_flash = (tq >= 1024 and jax.default_backend() == "tpu"
+                     and 32 <= head_dim <= 256 and head_dim % 8 == 0)
+        fused_rope = (os.environ.get("SABER_FUSED_ROPE", "1") != "0"
+                      and use_flash and head_dim % 256 == 0)
+
+        if fused_rope:
+            # fused-RoPE q/k projections with the de-interleave permutation
+            # FOLDED INTO THE WEIGHTS: rotation happens inside the flash
+            # kernel on half-split channels (ops/flash_attention.py module
+            # doc), and the static channel shuffle (pair (2i, 2i+1) →
+            # columns (i, D/2+i)) lands on the (in, internal) kernel/bias —
+            # a per-token gather on the (B, T, internal) activations cost
+            # ~0.7 ms/slice in the round-3 device trace. Same "q_proj"/
+            # "k_proj" param tree as the nn.Dense branch (hiera's
+            # _DenseParams declares identical names/inits).
+            from saber_tpu.models.hiera import _DenseParams
+            perm = np.concatenate([np.arange(0, head_dim, 2),
+                                   np.arange(1, head_dim, 2)])
+            dt = self.dtype
+
+            def folded_proj(x, name):
+                kern, bias = _DenseParams(x.shape[-1], internal, name=name)()
+                kf = kern.reshape(kern.shape[0], self.num_heads,
+                                  head_dim)[..., perm]
+                bf = bias.reshape(self.num_heads, head_dim)[..., perm]
+                return (x.astype(dt) @ kf.reshape(kern.shape[0],
+                                                  internal).astype(dt)
+                        + bf.reshape(internal).astype(dt))
+
+            qp = folded_proj(q, "q_proj")
+            kp = folded_proj(k, "k_proj")
+        else:
+            qp = nn.Dense(internal, dtype=self.dtype, name="q_proj")(q)
+            kp = nn.Dense(internal, dtype=self.dtype, name="k_proj")(k)
         vp = nn.Dense(internal, dtype=self.dtype, name="v_proj")(v)
-        b, tq = qp.shape[:2]
-        tk = kp.shape[1]
         qp = qp.reshape(b, tq, self.num_heads, head_dim)
         kp = kp.reshape(b, tk, self.num_heads, head_dim)
         vp = vp.reshape(b, tk, self.num_heads, head_dim)
@@ -125,25 +162,9 @@ class RoPEAttention(nn.Module):
         side = int(round(tq**0.5))
         freqs = compute_axial_cis(head_dim, side, side, self.rope_theta)
 
-        import jax
-        import os
-        use_flash = (tq >= 1024 and jax.default_backend() == "tpu"
-                     and 32 <= head_dim <= 256 and head_dim % 8 == 0)
-        fused_rope = os.environ.get("SABER_FUSED_ROPE", "1") != "0"
-        if use_flash and fused_rope and head_dim % 256 == 0:
-            # fused-RoPE flash path: rotation happens INSIDE the kernel on
-            # de-interleaved halves (ops/flash_attention.py module doc) —
-            # no rotated fp32 q/k copies ever hit HBM. The static channel
-            # permutation (pair (2i, 2i+1) → columns (i, D/2+i)) applies
-            # to q and ALL of k (scores are invariant to a shared
-            # permutation; v and the output stay untouched); pointer
-            # tokens keep identity rows (cos=1, sin=0) in the k table.
+        if fused_rope:
             from saber_tpu.ops.flash_attention import flash_attention
             half = head_dim // 2
-            perm = jnp.concatenate([jnp.arange(0, head_dim, 2),
-                                    jnp.arange(1, head_dim, 2)])
-            qp = jnp.take(qp, perm, axis=-1)
-            kp = jnp.take(kp, perm, axis=-1)
             cos, sin = freqs                                  # (tq, D/2)
             n_rope = tk - num_k_exclude_rope
             r = n_rope // cos.shape[0] if self.rope_k_repeat else 1
@@ -155,7 +176,11 @@ class RoPEAttention(nn.Module):
                  jnp.zeros((tk - r * cos.shape[0], half), jnp.float32)])
             bias_vec = (attn_bias.reshape(b, tk) if attn_bias is not None
                         else None)
-            out = flash_attention(qp, kp, vp, bias=bias_vec, block_k=2048,
+            # block_k trades per-block overhead against key-pad waste:
+            # 2048 pads the default memory bank (S≈8.3k) 24% up to 10240;
+            # 1024 pads 11% and measured +0.7% on the direction probe
+            bk = int(os.environ.get("SABER_MEMCROSS_BLOCK_K", "1024"))
+            out = flash_attention(qp, kp, vp, bias=bias_vec, block_k=bk,
                                   rope_q=freqs, rope_k=(ck, sk))
             out = out.reshape(b, tq, internal)
             return nn.Dense(self.embedding_dim, dtype=self.dtype,
