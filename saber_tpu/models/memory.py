@@ -36,7 +36,13 @@ class LayerNorm2d(nn.Module):
 
 
 class MaskDownSampler(nn.Module):
-    """Downsample a full-res mask 16× into embed_dim channels."""
+    """Downsample a full-res mask 16× into embed_dim channels.
+
+    NOTE (round-3 negative result): reformulating the 1/4-channel
+    stride-2 convs as shifted-slice sums + per-tap channel einsums (the
+    Gaussian z-smooth trick) measured 27.4 → 16.9 slices/s on the
+    direction probe — the tap einsums lower WORSE than XLA's conv for
+    these shapes. Keep the dense convs."""
     embed_dim: int = 256
     kernel_size: int = 3
     stride: int = 2

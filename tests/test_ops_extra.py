@@ -133,3 +133,39 @@ class TestAMGPrimitives:
         assert g.shape == (16, 2)
         assert g.min() == pytest.approx(1 / 8)
         assert g.max() == pytest.approx(7 / 8)
+
+
+def test_mask_downsampler_matches_manual_replay(rng):
+    """Pin MaskDownSampler semantics: stride-2 SAME conv pyramid with
+    LayerNorm(1e-6) + exact GELU between stages and a final 1×1 — the
+    manual replay below is the contract a reformulation must satisfy
+    (the round-3 shifted-slice variant passed this but measured slower
+    on-chip and was reverted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from saber_tpu.models.memory import MaskDownSampler
+
+    m = MaskDownSampler(embed_dim=8, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 1)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    got = np.asarray(m.apply({"params": params}, x))
+
+    ref = x
+    ch = 1
+    for i in range(4):
+        p = params[f"encoder_{i}_conv"]
+        ref = jax.lax.conv_general_dilated(
+            ref, p["kernel"], (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["bias"]
+        ln = params[f"encoder_{i}_ln"]
+        mu = ref.mean(-1, keepdims=True)
+        var = ((ref - mu) ** 2).mean(-1, keepdims=True)
+        ref = (ref - mu) * jax.lax.rsqrt(var + 1e-6) * ln["scale"] + ln["bias"]
+        ref = jax.nn.gelu(ref, approximate=False)
+        ch *= 4
+    fc = params["final_conv"]
+    ref = jax.lax.conv_general_dilated(
+        ref, fc["kernel"], (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + fc["bias"]
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-5, rtol=2e-5)
