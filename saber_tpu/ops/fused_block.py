@@ -168,12 +168,21 @@ def _attn_vmem(ta, c, hg, hp, wbuf, xbytes):
             + ta * hg * hp * xbytes)          # concat attn
 
 
+# Band token cap: bands of this many tokens per attention program. 256
+# fills MXU rows well; smaller caps shrink the block-diagonal masked-logit
+# waste (band of g windows computes g× the needed attention FLOPs) at the
+# cost of shorter GEMM rows. A/B on chip (hiera-L 1024, batch 8):
+# 256 → 193.8 ms, 128 → 195.3 ms, 512 → 194.6 ms — the masked waste is
+# cheaper than the lost row utilization, so 256 stays the default.
+_ATTN_BAND = int(os.environ.get("SABER_ATTN_BAND", "256"))
+
+
 def _pick_attn_blocks(nwx: int, t: int, c: int, num_heads: int, hd: int,
                       xbytes: int, budget: int = 12 * 2**20):
     """(windows per band g, heads per group hg, padded head width hp).
 
-    Bands of ~256 tokens keep the masked-logits waste small while filling
-    MXU rows. Preference order (all measured on a v5e chip):
+    Bands of ~_ATTN_BAND tokens keep the masked-logits waste small while
+    filling MXU rows. Preference order (all measured on a v5e chip):
 
     1. PADDED (hp = 128-multiple) weights, all heads, fully VMEM-resident
        — a constant weight-block index means Pallas fetches once with a
@@ -189,12 +198,14 @@ def _pick_attn_blocks(nwx: int, t: int, c: int, num_heads: int, hd: int,
        — required when no resident variant fits (hiera-L stage 4); an
        unpadded group block of 3·hg·hd lanes is not 128-tileable.
     """
+    band = max(_ATTN_BAND, t)
     hp128 = max(128, -(-hd // 128) * 128)
-    gs = [g for g in range(min(nwx, max(1, 256 // t)), 0, -1) if nwx % g == 0]
+    gs = [g for g in range(min(nwx, max(1, _ATTN_BAND // t)), 0, -1)
+          if nwx % g == 0]
     for hp_try in (hp128, hd):
         for g in gs:
             ta = g * t
-            if (ta <= 256 and
+            if (ta <= band and
                     _attn_vmem(ta, c, num_heads, hp_try, 1, xbytes) <= budget):
                 return g, num_heads, hp_try
     fallback = None
@@ -205,7 +216,7 @@ def _pick_attn_blocks(nwx: int, t: int, c: int, num_heads: int, hd: int,
                 continue
             wbuf = 1 if hg == num_heads else 2
             used = _attn_vmem(ta, c, hg, hp128, wbuf, xbytes)
-            if used <= budget and ta <= 256:
+            if used <= budget and ta <= band:
                 return g, hg, hp128
             fallback = (g, hg, hp128)
     return fallback if fallback is not None else (1, 1, hp128)
