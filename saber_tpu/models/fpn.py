@@ -23,6 +23,12 @@ class FpnNeck(nn.Module):
     backbone_channel_list: Sequence[int] = (96, 192, 384, 768)  # low→high stride
     fpn_top_down_levels: Sequence[int] = (2, 3)
     fpn_interp_model: str = "nearest"
+    # compute dtype (params stay fp32, repo convention). Without it the
+    # lateral 1×1 convs silently promoted the bf16 trunk outputs to fp32:
+    # a round-3 device trace showed the /4-level conv emitting an
+    # f32[8,256,256,256] result plus a 537 MB layout copy (~2.9 ms of the
+    # 187 ms encoder program) purely from the dtype mismatch.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs):
@@ -32,7 +38,7 @@ class FpnNeck(nn.Module):
         prev = None
         for i in range(n - 1, -1, -1):
             lateral = nn.Conv(self.d_model, (1, 1), use_bias=True,
-                              name=f"convs_{i}")(xs[i])
+                              dtype=self.dtype, name=f"convs_{i}")(xs[i])
             if i in self.fpn_top_down_levels and prev is not None:
                 b, h, w, c = prev.shape
                 top_down = jax.image.resize(

@@ -120,7 +120,7 @@ class SAM2(nn.Module):
                 fused=cfg.fused_encoder, name="trunk"),
             neck=FpnNeck(d_model=cfg.d_model,
                          backbone_channel_list=cfg.backbone_channel_list,
-                         name="neck"),
+                         dtype=cfg.dtype, name="neck"),
             scalp=1)
         self._setup_sam_heads()
 

@@ -63,11 +63,18 @@ def _erf(x):
     return a / b
 
 
+# Diagnostic: SABER_GELU=linear replaces the GELU with identity to bound
+# the kernel's VPU share on chip (NOT a correct model — measurement only).
+_GELU_MODE = os.environ.get("SABER_GELU", "exact")
+
+
 def _gelu_exact(x):
     """Exact (erf) GELU matching flax nn.gelu(approximate=False) to
     ~1e-7 — the tanh approximation deviates up to ~3e-3, which would
     break fused-vs-flax equivalence."""
     xf = x.astype(jnp.float32)
+    if _GELU_MODE == "linear":
+        return xf
     return 0.5 * xf * (1.0 + _erf(xf * 0.7071067811865476))
 
 
@@ -79,6 +86,20 @@ def _ln(x, scale, bias):
     rstd = jax.lax.rsqrt(var + _EPS)
     y = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
     return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+# Diagnostic: SABER_SOFTMAX=linear replaces the softmax exp with a cheap
+# elementwise stand-in to bound the attention kernel's exp-VPU share on
+# chip (NOT a correct model — measurement only).
+_SOFTMAX_MODE = os.environ.get("SABER_SOFTMAX", "exact")
+
+
+def _softmax(logits):
+    """Row softmax, fp32 — jax.nn.softmax semantics."""
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = (jnp.abs(logits - m) if _SOFTMAX_MODE == "linear"
+         else jnp.exp(logits - m))
+    return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +155,7 @@ def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         logits = jax.lax.dot_general(            # q·kᵀ without a transpose
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits * scale + win_bias, axis=-1).astype(dt)
+        probs = _softmax(logits * scale + win_bias).astype(dt)
         outs.append(jnp.dot(probs, v,
                             preferred_element_type=jnp.float32).astype(dt))
     attn = jnp.concatenate(outs, axis=-1)        # (Ta, hg·hp)
@@ -242,21 +263,7 @@ def fused_window_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     # repack weights head-padded and GROUPED: for each head group,
     # [q cols | k cols | v cols] of that group's heads are contiguous, so
     # the (c, 3·hg·hp) weight block for grid step j is one lane slice
-    def grouped(m, is_bias=False):
-        mm = m[None] if is_bias else m
-        parts = [_pad_heads(mm[..., i * c:(i + 1) * c], num_heads, hp)
-                 .reshape(*mm.shape[:-1], num_heads, hp)
-                 for i in range(3)]               # q, k, v: (…, H, hp)
-        groups = []
-        for j in range(ngroups):
-            sl = slice(j * hg, (j + 1) * hg)
-            groups.extend(p[..., sl, :].reshape(*mm.shape[:-1], hg * hp)
-                          for p in parts)
-        out = jnp.concatenate(groups, axis=-1)    # (…, 3·H·hp)
-        return out[0] if is_bias else out
-
-    wqkv_p = grouped(wqkv)
-    bqkv_p = grouped(bqkv, is_bias=True)
+    wqkv_p, bqkv_p = _group_qkv(wqkv, bqkv, c, num_heads, hp, ngroups, hg)
     wproj_p = _pad_heads(wproj.T, num_heads, hp).T      # (H·hp, C), head-major
 
     d3 = 3 * num_heads * hp
@@ -292,6 +299,223 @@ def fused_window_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         interpret=_interpret(),
     )(x, ln_scale.reshape(1, c), ln_bias.reshape(1, c), wqkv_p,
       bqkv_p.reshape(1, d3), wproj_p, bproj.reshape(1, c))
+
+
+# ---------------------------------------------------------------------------
+# fused q-pool transition block (stage boundaries: dim doubles, 2×2 q pool)
+# ---------------------------------------------------------------------------
+
+
+def _pool2_tokens(x2, blk_w):
+    """2×2 max pool on a (ta, X) token band (rows ordered r·blk_w + c),
+    exact nn.max_pool((2, 2)) semantics, Mosaic-safe: strided sublane
+    slices lower to unsupported gathers, so instead (a) two sublane
+    rolls compute the 4-neighbour max at every even-(r, c) row (the
+    wrap rows are never selected), and (b) one 0/1 selection matmul
+    compacts the tq = ta/4 pooled rows — exact, and trivial on the MXU
+    (tq·ta·X ≪ the qkv GEMM)."""
+    ta = x2.shape[0]
+    tq = ta // 4
+    m = jnp.maximum(x2, pltpu.roll(x2, shift=ta - 1, axis=0))
+    m = jnp.maximum(m, pltpu.roll(m, shift=ta - blk_w, axis=0))
+    pi = jax.lax.broadcasted_iota(jnp.int32, (tq, ta), 0)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (tq, ta), 1)
+    src = 2 * (pi // (blk_w // 2)) * blk_w + 2 * (pi % (blk_w // 2))
+    sel = (qi == src).astype(x2.dtype)
+    return jax.lax.dot_general(sel, m, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _pool_attn_kernel(x_ref, s_ref, b_ref, wsh_ref, bsh_ref, wqkv_ref,
+                      bqkv_ref, wproj_ref, bproj_ref, out_ref, normed_ref,
+                      acc_ref, *, window, heads_per_group, head_dim, hp):
+    """One program = a (window, g·window) pre-pool row-band × one head
+    group. Same 2D-tensor discipline as ``_attn_kernel``; the query side
+    is 2×2 max-pooled inside the band (column pairs never cross a window
+    boundary, so band-level pooling ≡ the flax path's per-window pooling,
+    models/hiera.py MultiScaleAttention). The projected shortcut is
+    pooled the same way and seeds the accumulator."""
+    hgrp = pl.program_id(3)
+    nh = pl.num_programs(3)
+    xb = x_ref[0]                                # (w, blk_w, cin)
+    w, blk_w, cin = xb.shape
+    ta = w * blk_w
+    tq = ta // 4
+    hg = heads_per_group
+    dt = xb.dtype
+    cout = wsh_ref.shape[1]
+
+    tokens = xb.reshape(ta, cin)
+
+    @pl.when(hgrp == 0)
+    def _():
+        normed_ref[:] = _ln(tokens, s_ref[0], b_ref[0])
+        sc = jnp.dot(normed_ref[:], wsh_ref[:],
+                     preferred_element_type=jnp.float32)
+        sc = sc + bsh_ref[0].astype(jnp.float32)
+        acc_ref[:] = (_pool2_tokens(sc, blk_w)
+                      + bproj_ref[0].astype(jnp.float32))
+
+    qkv32 = jnp.dot(normed_ref[:], wqkv_ref[:],
+                    preferred_element_type=jnp.float32)
+    qkv32 = qkv32 + bqkv_ref[0].astype(jnp.float32)   # (ta, 3·hg·hp)
+
+    d = hg * hp
+    # pool queries in fp32 — Mosaic's rotate (pltpu.roll) is 32-bit only
+    qp = _pool2_tokens(qkv32[:, :d], blk_w).astype(dt)
+    qkv = qkv32.astype(dt)
+
+    # mask: pooled q col' // (window/2) vs kv col // window
+    pi = jax.lax.broadcasted_iota(jnp.int32, (tq, ta), 0)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (tq, ta), 1)
+    same = ((pi % (blk_w // 2)) // (window // 2)
+            == (qi % blk_w) // window)
+    win_bias = jnp.where(same, 0.0, -1e9).astype(jnp.float32)
+
+    scale = head_dim ** -0.5
+    outs = []
+    for h in range(hg):
+        q = qp[:, h * hp:(h + 1) * hp]
+        k = qkv[:, (hg + h) * hp:(hg + h + 1) * hp]
+        v = qkv[:, (2 * hg + h) * hp:(2 * hg + h + 1) * hp]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        probs = _softmax(logits * scale + win_bias).astype(dt)
+        outs.append(jnp.dot(probs, v,
+                            preferred_element_type=jnp.float32).astype(dt))
+    attn = jnp.concatenate(outs, axis=-1)        # (tq, hg·hp)
+    acc_ref[:] += jnp.dot(attn, wproj_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(hgrp == nh - 1)
+    def _():
+        out_ref[0] = acc_ref[:].astype(dt).reshape(w // 2, blk_w // 2, cout)
+
+
+def _group_qkv(wqkv, bqkv, c_out, num_heads, hp, ngroups, hg):
+    """Pack a (cin, 3·c_out) qkv kernel head-padded and GROUPED: for each
+    head group, [q | k | v] columns of that group's heads are contiguous,
+    so grid step l reads one lane slice. Shared by the same-dim and the
+    q-pool fused attention kernels."""
+    def grouped(m, is_bias=False):
+        mm = m[None] if is_bias else m
+        parts = [_pad_heads(mm[..., i * c_out:(i + 1) * c_out], num_heads, hp)
+                 .reshape(*mm.shape[:-1], num_heads, hp)
+                 for i in range(3)]
+        groups = []
+        for j in range(ngroups):
+            sl = slice(j * hg, (j + 1) * hg)
+            groups.extend(p[..., sl, :].reshape(*mm.shape[:-1], hg * hp)
+                          for p in parts)
+        out = jnp.concatenate(groups, axis=-1)
+        return out[0] if is_bias else out
+    return grouped(wqkv), grouped(bqkv, is_bias=True)
+
+
+def _pool_attn_vmem(ta, cin, cout, hg, hp, wbuf, xbytes):
+    tq = ta // 4
+    return (2 * ta * cin * xbytes             # x, double-buffered
+            + 2 * tq * cout * xbytes          # out, double-buffered
+            + cin * cout * xbytes             # wshort (constant index)
+            + wbuf * cin * 3 * hg * hp * xbytes   # wqkv block
+            + wbuf * hg * hp * cout * xbytes      # wproj block
+            + ta * cin * xbytes               # normed scratch
+            + tq * cout * 4                   # fp32 accumulator
+            + ta * cout * 4                   # shortcut fp32 (pre-pool)
+            + ta * 3 * hg * hp * 4            # qkv fp32 pre-cast
+            + tq * ta * 8 + tq * ta * 4       # mask iotas + logits
+            + ta * hg * hp * xbytes)          # q3/attn temporaries
+
+
+def _pick_pool_attn_blocks(nwx, t, cin, cout, num_heads, hd, xbytes,
+                           budget=12 * 2**20):
+    """(g, hg, hp) for the q-pool kernel — same preference order as
+    ``_pick_attn_blocks`` (resident padded → streamed head groups)."""
+    band = max(_ATTN_BAND, t)
+    hp128 = max(128, -(-hd // 128) * 128)
+    gs = [g for g in range(min(nwx, max(1, _ATTN_BAND // t)), 0, -1)
+          if nwx % g == 0]
+    for g in gs:
+        ta = g * t
+        if (ta <= band and _pool_attn_vmem(
+                ta, cin, cout, num_heads, hp128, 1, xbytes) <= budget):
+            return g, num_heads, hp128
+    fallback = None
+    for g in gs:
+        ta = g * t
+        for hg in range(num_heads, 0, -1):
+            if num_heads % hg:
+                continue
+            wbuf = 1 if hg == num_heads else 2
+            used = _pool_attn_vmem(ta, cin, cout, hg, hp128, wbuf, xbytes)
+            if used <= budget and ta <= band:
+                return g, hg, hp128
+            fallback = (g, hg, hp128)
+    return fallback if fallback is not None else (1, 1, hp128)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "num_heads"))
+def fused_pool_attention(x, ln_scale, ln_bias, wshort, bshort, wqkv, bqkv,
+                         wproj, bproj, *, window: int, num_heads: int):
+    """Stage-transition half-block: returns
+    maxpool2(Dense_proj(LN(x))) + proj(attn(pool_q(qkv(LN(x))))) at half
+    resolution and ``cout = wshort.shape[1]`` channels — the q-pool
+    branch of MultiScaleBlock (models/hiera.py _attention_path, torch
+    hiera q_stride semantics). Requires H, W divisible by ``window`` and
+    an even ``window``; callers fall back to the flax path otherwise."""
+    b, h, w, cin = x.shape
+    cout = wshort.shape[1]
+    nwy = h // window
+    nwx = w // window
+    t = window * window
+    hd = cout // num_heads
+    g, hg, hp = _pick_pool_attn_blocks(nwx, t, cin, cout, num_heads, hd,
+                                       jnp.dtype(x.dtype).itemsize)
+    ngroups = num_heads // hg
+
+    wqkv_p, bqkv_p = _group_qkv(wqkv, bqkv, cout, num_heads, hp, ngroups, hg)
+    wproj_p = _pad_heads(wproj.T, num_heads, hp).T      # (H·hp, cout)
+
+    d3 = 3 * num_heads * hp
+    blk_w = g * window
+    return pl.pallas_call(
+        functools.partial(_pool_attn_kernel, window=window,
+                          heads_per_group=hg, head_dim=hd, hp=hp),
+        grid=(b, nwy, nwx // g, ngroups),
+        in_specs=[
+            pl.BlockSpec((1, window, blk_w, cin),
+                         lambda i, j, k, l: (i, j, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda i, j, k, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda i, j, k, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, cout), lambda i, j, k, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, j, k, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, 3 * hg * hp), lambda i, j, k, l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hg * hp), lambda i, j, k, l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hg * hp, cout), lambda i, j, k, l: (l, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, j, k, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, window // 2, blk_w // 2, cout),
+                               lambda i, j, k, l: (i, j, k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h // 2, w // 2, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((window * blk_w, cin), x.dtype),      # LN output
+            pltpu.VMEM((window * blk_w // 4, cout), jnp.float32),  # acc
+        ],
+        interpret=_interpret(),
+    )(x, ln_scale.reshape(1, cin), ln_bias.reshape(1, cin), wshort,
+      bshort.reshape(1, cout), wqkv_p, bqkv_p.reshape(1, d3), wproj_p,
+      bproj.reshape(1, cout))
 
 
 # ---------------------------------------------------------------------------
@@ -349,9 +573,18 @@ def _hidden_chunks(hid: int, target: int = 1024):
 _MLP_BUDGET = int(float(os.environ.get("SABER_MLP_VMEM_MB", "12")) * 2**20)
 
 
+# Diagnostic: force a specific (row tile, hidden chunk), e.g.
+# SABER_MLP_FORCE=512,1152 — for on-chip block sweeps only.
+_MLP_FORCE = os.environ.get("SABER_MLP_FORCE", "")
+
+
 def _pick_mlp_blocks(m: int, c: int, hid: int, xbytes: int,
                      budget: int = 0):
     budget = budget or _MLP_BUDGET
+    if _MLP_FORCE:
+        tm, hc = (int(v) for v in _MLP_FORCE.split(","))
+        if m % tm == 0 and hid % hc == 0:
+            return tm, hc
     """Largest (row tile, hidden chunk) whose VMEM footprint fits.
 
     Footprint model: double-buffered x/out tiles and w1/w2 blocks, the
@@ -363,9 +596,11 @@ def _pick_mlp_blocks(m: int, c: int, hid: int, xbytes: int,
     fallback = None
     # pass 1: whole hidden dim resident (hc == hid → constant weight block
     # index → Pallas fetches w1/w2 once, single-buffered, for the entire
-    # grid — no re-streaming as row tiles advance); pass 2: stream chunks
+    # grid — no re-streaming as row tiles advance); pass 2: stream chunks.
+    # Row tiles above 512 only fit the narrow early stages, where they
+    # help: stage 1 (C=144) measured 5.29 → 5.06 ms/block at tm=2048.
     for resident in (True, False):
-        for tm in (512, 256, 128, 64, 32, 16, 8):
+        for tm in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
             if m % tm:
                 continue
             for hc in ([hid] if resident else _hidden_chunks(hid)):

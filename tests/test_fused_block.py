@@ -100,3 +100,40 @@ def test_fused_trunk_matches_flax_trunk(rng):
     for r, o in zip(ref_m.apply({"params": params}, x),
                     fused_m.apply({"params": params}, x)):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-4)
+
+
+def test_fused_pool_block_matches_flax_block(rng):
+    """Stage-transition block (dim doubles, 2x2 q-pool): fused == flax."""
+    for kw in (dict(dim=32, dim_out=64, num_heads=2, window_size=4),
+               dict(dim=48, dim_out=96, num_heads=4, window_size=8)):
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, kw["dim"]))
+                        .astype(np.float32))
+        ref_b = MultiScaleBlock(fused=False, q_stride=(2, 2), **kw)
+        fused_b = MultiScaleBlock(fused=True, q_stride=(2, 2), **kw)
+        params = ref_b.init(jax.random.PRNGKey(0), x)["params"]
+        params = jax.tree.map(
+            lambda a: jnp.asarray(0.05 * rng.standard_normal(a.shape),
+                                  a.dtype), params)
+        assert (jax.tree.map(lambda a: a.shape, params)
+                == jax.tree.map(
+                    lambda a: a.shape,
+                    fused_b.init(jax.random.PRNGKey(0), x)["params"]))
+        ref = ref_b.apply({"params": params}, x)
+        out = fused_b.apply({"params": params}, x)
+        assert out.shape == (2, 8, 8, kw["dim_out"])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5)
+
+
+def test_s2d_patch_embed_matches_conv(rng):
+    """Space-to-depth patch embed is the exact 7x7/s4 conv (reordered sum)."""
+    from saber_tpu.models.hiera import PatchEmbed
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    ref = PatchEmbed(32, space_to_depth=False)
+    s2d = PatchEmbed(32, space_to_depth=True)
+    params = ref.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree.map(lambda a: a.shape, params)
+            == jax.tree.map(lambda a: a.shape,
+                            s2d.init(jax.random.PRNGKey(0), x)))
+    np.testing.assert_allclose(np.asarray(s2d.apply(params, x)),
+                               np.asarray(ref.apply(params, x)), atol=1e-5)

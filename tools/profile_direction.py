@@ -35,26 +35,66 @@ def summarize_xplane(logdir: str, topk: int):
     with open(paths[-1], "rb") as f:
         xspace.ParseFromString(f.read())
 
+    def categorize(name):
+        """Bucket an HLO op name for share accounting.
+
+        Async copy/slice-start spans run until their -done event and
+        overlap real compute, so they get their own (non-compute) bucket.
+        """
+        n = name.split(" = ")[0].lstrip("%")
+        if n.startswith(("copy-start", "slice-start", "copy-done",
+                         "slice-done", "all-reduce-start")):
+            return "async-copy (overlaps compute)"
+        for key in ("fused_window_attention", "fused_mlp", "flash_attention",
+                    "fused_rope_attention"):
+            if key in name:
+                return key
+        if "custom-call" in name:
+            return "custom-call (other pallas)"
+        if n.startswith(("convolution", "cudnn", "dot")):
+            return "conv/dot"
+        if ".fusion" in name or n.startswith(("fusion", "loop_fusion",
+                                              "input_fusion", "output_fusion",
+                                              "wide.windowed", "scatter",
+                                              "reduce")):
+            return "xla-fusion (elementwise/reduce/LN)"
+        if n.startswith(("copy", "bitcast", "transpose", "reshape", "slice",
+                         "concatenate", "dynamic")):
+            return "layout copies"
+        return "other"
+
     for plane in xspace.planes:
         if "TPU" not in plane.name and "Device" not in plane.name:
             continue
         meta = {m.id: m for m in plane.event_metadata.values()}
+        # prefer the XLA Ops line when present — other lines (modules,
+        # steps) span whole programs and double-count everything
+        lines = [ln for ln in plane.lines if "XLA Ops" in ln.name] \
+            or list(plane.lines)
         tot = defaultdict(float)
         cnt = defaultdict(int)
-        for line in plane.lines:
-            # XLA Ops line carries per-op device events
+        cat = defaultdict(float)
+        for line in lines:
             for ev in line.events:
                 name = meta[ev.metadata_id].name if ev.metadata_id in meta \
                     else str(ev.metadata_id)
-                tot[name] += ev.duration_ps / 1e9      # ms
+                ms = ev.duration_ps / 1e9
+                tot[name] += ms
                 cnt[name] += 1
+                cat[categorize(name)] += ms
         if not tot:
             continue
-        total_ms = sum(tot.values())
-        print(f"\n== plane: {plane.name}  (sum over lines {total_ms:.1f} "
-              f"ms; NOTE lines overlap — use per-op shares, not the sum)")
+        compute = sum(ms for c, ms in cat.items() if "overlap" not in c)
+        print(f"\n== plane: {plane.name}  lines={len(lines)} "
+              f"(compute-category sum {compute:.1f} ms)")
+        for c, ms in sorted(cat.items(), key=lambda kv: -kv[1]):
+            share = 100.0 * ms / compute if "overlap" not in c else 0.0
+            tag = f"{share:5.1f}%" if "overlap" not in c else "  --  "
+            print(f"  [{tag}] {ms:9.2f} ms  {c}")
+        print()
         for name, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:topk]:
-            print(f"  {ms:9.2f} ms  x{cnt[name]:<5d}  {name[:110]}")
+            print(f"  {ms:9.2f} ms  x{cnt[name]:<5d}  "
+                  f"({categorize(name)})  {name[:96]}")
 
 
 def main():

@@ -55,16 +55,22 @@ def main():
         np.asarray(out["vision_features"][..., :1])
 
     once()
+    # chain a few calls, sync once — per-call RPC latency would otherwise
+    # dominate (CLAUDE.md relay facts)
+    reps = int(os.environ.get("SABER_PROF_REPS", "5"))
     t0 = time.perf_counter()
+    for _ in range(reps - 1):
+        fn(params, frames)
     once()
-    warm = time.perf_counter() - t0
+    warm = (time.perf_counter() - t0) / reps
     print(f"warm encode: {warm * 1e3:.1f} ms for batch {batch} "
           f"({batch / warm:.1f} slices/s)", flush=True)
 
-    jax.profiler.start_trace(logdir)
-    once()
-    jax.profiler.stop_trace()
-    summarize_xplane(logdir, topk)
+    if os.environ.get("SABER_PROF_TRACE", "1") != "0":
+        jax.profiler.start_trace(logdir)
+        once()
+        jax.profiler.stop_trace()
+        summarize_xplane(logdir, topk)
 
 
 if __name__ == "__main__":
