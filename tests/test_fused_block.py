@@ -137,3 +137,29 @@ def test_s2d_patch_embed_matches_conv(rng):
                             s2d.init(jax.random.PRNGKey(0), x)))
     np.testing.assert_allclose(np.asarray(s2d.apply(params, x)),
                                np.asarray(ref.apply(params, x)), atol=1e-5)
+
+
+def test_fused_pool_block_head_group_streaming(rng, monkeypatch):
+    """Head groups streamed through the grid (stage-4-transition regime
+    where the packed qkv weights exceed the VMEM budget)."""
+    import saber_tpu.ops.fused_block as fb
+    real_pick = fb._pick_pool_attn_blocks
+
+    def tight(*a, **k):
+        g, hg, hp = real_pick(*a, budget=640 * 2**10)
+        assert hg < a[4], "budget should force streaming in this test"
+        return g, hg, hp
+
+    monkeypatch.setattr(fb, "_pick_pool_attn_blocks", tight)
+    kw = dict(dim=64, dim_out=128, num_heads=4, window_size=4)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, kw["dim"]))
+                    .astype(np.float32))
+    ref_b = MultiScaleBlock(fused=False, q_stride=(2, 2), **kw)
+    fused_b = MultiScaleBlock(fused=True, q_stride=(2, 2), **kw)
+    params = ref_b.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.tree.map(
+        lambda a: jnp.asarray(0.05 * rng.standard_normal(a.shape),
+                              a.dtype), params)
+    ref = ref_b.apply({"params": params}, x)
+    out = fused_b.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
