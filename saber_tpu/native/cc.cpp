@@ -134,16 +134,22 @@ int64_t cc_label_3d(const uint8_t* mask, int64_t nz, int64_t ny, int64_t nx,
     }
   }
 
-  // compact roots to 1..n_components in first-appearance order
-  std::vector<int32_t> remap(uf.parent.size(), 0);
+  // Compact roots to 1..n_components in first-appearance order. Ids are
+  // created in scan order and unite() keeps the minimum id as root, so a
+  // component's root IS its first-appearing run — ordering roots by id
+  // reproduces scipy's first-appearance labeling exactly. Resolving the
+  // whole id → compact-label table up front (O(ids)) turns the final
+  // voxel pass into a plain table lookup; the per-voxel find() here was
+  // why 2D labeling lost to scipy before (docs/benchmarks.md).
+  const size_t nids = uf.parent.size();
+  std::vector<int32_t> full_map(nids + 1, 0);  // [0] = background
   int32_t next = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    if (out[i] > 0) {
-      const int32_t r = uf.find(out[i] - 1);
-      if (remap[r] == 0) remap[r] = ++next;
-      out[i] = remap[r];
-    }
-  }
+  for (size_t i = 0; i < nids; ++i)
+    if (uf.find(static_cast<int32_t>(i)) == static_cast<int32_t>(i))
+      full_map[i + 1] = ++next;
+  for (size_t i = 0; i < nids; ++i)
+    full_map[i + 1] = full_map[uf.find(static_cast<int32_t>(i)) + 1];
+  for (int64_t i = 0; i < n; ++i) out[i] = full_map[out[i]];
   return next;
 }
 

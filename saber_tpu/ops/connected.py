@@ -31,10 +31,11 @@ def label(mask: np.ndarray, connectivity: int | None = None):
     mask = np.ascontiguousarray(np.asarray(mask).astype(bool))
     rank = mask.ndim
     conn = rank if connectivity is None else connectivity
-    # dimension-aware dispatch: the native union-find wins for 3D volumes
-    # (~1.4x scipy) but its paint pass loses for 2D (docs/benchmarks.md);
-    # keep scipy for 2D.
-    if rank >= 3:
+    # native run-based union-find for 2D and 3D: with the id→label remap
+    # resolved as a table (not a per-voxel find), it measures 1.5-2.2×
+    # scipy on 2D masks ≤1024² and 1.8× on 3D (docs/benchmarks.md);
+    # scipy remains the fallback when the shared lib is unavailable.
+    if rank in (2, 3):
         try:
             from saber_tpu.native import cc as _cc
             return _cc.label(mask, conn)
