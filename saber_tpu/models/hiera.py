@@ -219,19 +219,29 @@ class MultiScaleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
-        divisible = (self.window_size > 0
-                     and x.shape[1] % self.window_size == 0
-                     and x.shape[2] % self.window_size == 0)
+        # non-window-multiple H/W run in-kernel on a padded canvas with
+        # exact pad-after-LN masking (ops/fused_block), so divisibility
+        # alone no longer forces the flax fallback — the remaining gate is
+        # Mosaic block legality (blk_w % 8), which the window-14 stage of
+        # base/small/tiny cannot satisfy in budget
+        if self.fused:
+            from saber_tpu.ops.fused_block import (
+                fused_attention_applicable, fused_mlp,
+                fused_pool_applicable, fused_pool_attention,
+                fused_window_attention)
         fused_attn = (
-            self.fused and divisible and self.q_stride is None
-            and self.dim == self.dim_out)
+            self.fused and self.window_size > 0 and self.q_stride is None
+            and self.dim == self.dim_out
+            and fused_attention_applicable(
+                x.shape[1], x.shape[2], self.window_size, self.dim,
+                self.num_heads, self.dtype))
         fused_pool = (
-            self.fused and divisible and self.q_stride == (2, 2)
-            and self.window_size % 2 == 0)
-        if fused_attn or fused_pool or self.fused:
-            from saber_tpu.ops.fused_block import (fused_mlp,
-                                                   fused_pool_attention,
-                                                   fused_window_attention)
+            self.fused and self.window_size > 0
+            and self.q_stride == (2, 2) and self.window_size % 2 == 0
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and fused_pool_applicable(
+                x.shape[1], x.shape[2], self.window_size, self.dim,
+                self.dim_out, self.num_heads, self.dtype))
         if fused_attn:
             ln_s, ln_b = _LNParams(self.dim, name="norm1")()
             (qkv_k, qkv_b), (proj_k, proj_b) = _AttnParams(

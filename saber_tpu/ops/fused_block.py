@@ -78,11 +78,31 @@ def _gelu_exact(x):
     return 0.5 * xf * (1.0 + _erf(xf * 0.7071067811865476))
 
 
+# Diagnostic: SABER_LN=off replaces LayerNorm stats with identity to
+# bound the kernels' lane-reduction VPU share on chip (NOT a correct
+# model — measurement only). SABER_LN=dot computes the mean/variance
+# sums as two skinny MXU dots — measured SLOWER than the VPU reductions
+# on chip (mlp s3 1.75 → 1.85 ms, attn s1 5.76 → 5.85: the skinny dots
+# serialize against the main GEMM), so exact stays the default; LN=off
+# bounds LN at 4-12% of kernel time.
+_LN_MODE = os.environ.get("SABER_LN", "exact")
+
+
 def _ln(x, scale, bias):
     """LayerNormFast semantics: fp32 stats, input-dtype elementwise."""
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    if _LN_MODE == "off":
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+    if _LN_MODE == "dot":
+        c = x.shape[-1]
+        ones = jnp.full((c, 1), 1.0 / c, jnp.float32)
+        mean = jnp.dot(xf, ones, preferred_element_type=jnp.float32)
+        cent = xf - mean
+        var = jnp.dot(cent * cent, ones,
+                      preferred_element_type=jnp.float32)
+    else:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + _EPS)
     y = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
     return y * scale.astype(x.dtype) + bias.astype(x.dtype)
@@ -107,9 +127,23 @@ def _softmax(logits):
 # ---------------------------------------------------------------------------
 
 
+def _pad_validity(window, blk_w, valid_hw):
+    """(ta, 1) fp32 mask of tokens inside the true (H, W) — for kernels
+    running on a window-padded canvas. Token p of a band at grid row j /
+    band k sits at spatial (j·window + p//blk_w, k·blk_w + p%blk_w)."""
+    h, wd = valid_hw
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    ta = window * blk_w
+    p = jax.lax.broadcasted_iota(jnp.int32, (ta, 1), 0)
+    grow = j * window + p // blk_w
+    gcol = k * blk_w + p % blk_w
+    return ((grow < h) & (gcol < wd)).astype(jnp.float32)
+
+
 def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                 bproj_ref, out_ref, normed_ref, acc_ref, *,
-                 window, heads_per_group, head_dim, hp):
+                 bproj_ref, *rest, window, heads_per_group, hp,
+                 masked, valid_hw=None):
     """One program = a (window, g·window) row-band of tokens × one head
     group. Every tensor stays 2D — (rows, lanes) — because Mosaic only
     supports reshapes that keep the sublane dim a multiple of its tile:
@@ -119,7 +153,14 @@ def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     pre-padded to ``hp`` (multiple of 128) columns, and head groups
     stream through the grid's innermost dim with an fp32 accumulator —
     the same revisit pattern as ``fused_mlp``'s hidden chunks. Padded
-    head lanes are inert: zero q·kᵀ contributions, zero proj rows."""
+    head lanes are inert: zero q·kᵀ contributions, zero proj rows.
+
+    The softmax scale is folded into the packed q weights at trace time;
+    the block-diagonal mask arrives as a constant VMEM input only when
+    the band holds more than one window (``masked``) — stage 3 of
+    hiera-L (g == 1) skips the add entirely."""
+    mask_ref = rest[0] if masked else None
+    out_ref, normed_ref, acc_ref = rest[-3:]
     hgrp = pl.program_id(3)
     nh = pl.num_programs(3)
     xb = x_ref[0]                               # (w, blk_w, C)
@@ -130,9 +171,19 @@ def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
     tokens = xb.reshape(ta, c)                  # leading-dim collapse: legal
 
+    # window-padded canvas: flax/torch pad AFTER the LN, so pad tokens
+    # are zero in normed space (they still contribute the qkv bias to
+    # in-window attention — exact parity). Computed outside pl.when:
+    # program_id has no lowering inside a when-branch in interpret mode.
+    valid = (None if valid_hw is None
+             else _pad_validity(window, blk_w, valid_hw))
+
     @pl.when(hgrp == 0)
     def _():
-        normed_ref[:] = _ln(tokens, s_ref[0], b_ref[0])
+        normed = _ln(tokens, s_ref[0], b_ref[0])
+        if valid is not None:
+            normed = normed * valid.astype(normed.dtype)
+        normed_ref[:] = normed
         acc_ref[:] = (tokens.astype(jnp.float32)
                       + bproj_ref[0].astype(jnp.float32))
 
@@ -140,13 +191,6 @@ def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                   preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(dt)  # (Ta, 3·hg·hp)
 
-    # block-diagonal window mask over the band (token index p = i·blk_w + x)
-    pi = jax.lax.broadcasted_iota(jnp.int32, (ta, ta), 0)
-    qi = jax.lax.broadcasted_iota(jnp.int32, (ta, ta), 1)
-    same = (pi % blk_w) // window == (qi % blk_w) // window
-    win_bias = jnp.where(same, 0.0, -1e9).astype(jnp.float32)
-
-    scale = head_dim ** -0.5
     outs = []
     for h in range(hg):                          # lane slices, 128-aligned
         q = qkv[:, h * hp:(h + 1) * hp]
@@ -155,7 +199,9 @@ def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         logits = jax.lax.dot_general(            # q·kᵀ without a transpose
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        probs = _softmax(logits * scale + win_bias).astype(dt)
+        if masked:
+            logits = logits + mask_ref[:]
+        probs = _softmax(logits).astype(dt)
         outs.append(jnp.dot(probs, v,
                             preferred_element_type=jnp.float32).astype(dt))
     attn = jnp.concatenate(outs, axis=-1)        # (Ta, hg·hp)
@@ -165,6 +211,57 @@ def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     @pl.when(hgrp == nh - 1)
     def _():
         out_ref[0] = acc_ref[:].astype(dt).reshape(w, blk_w, c)
+
+
+def fused_attention_applicable(h: int, w: int, window: int, c: int,
+                               num_heads: int, dtype) -> bool:
+    """True when fused_window_attention has a Mosaic-legal block config
+    for this shape (callers use the flax path otherwise — e.g. the
+    window-14 stage of hiera base/small/tiny, whose padded width admits
+    no band with blk_w % 8 == 0 inside the VMEM budget)."""
+    wp = w + (window - w % window) % window
+    return _pick_attn_blocks(wp // window, window, c, num_heads,
+                             c // num_heads,
+                             jnp.dtype(dtype).itemsize) is not None
+
+
+def fused_pool_applicable(h: int, w: int, window: int, cin: int, cout: int,
+                          num_heads: int, dtype) -> bool:
+    """fused_pool_attention analog of ``fused_attention_applicable``."""
+    wp = w + (window - w % window) % window
+    return _pick_pool_attn_blocks(wp // window, window, cin, cout,
+                                  num_heads, cout // num_heads,
+                                  jnp.dtype(dtype).itemsize) is not None
+
+
+def _band_mask(window: int, blk_w: int) -> jnp.ndarray:
+    """(ta, ta) block-diagonal window mask for a horizontal band of
+    blk_w/window windows (token p belongs to window (p % blk_w) //
+    window). Built ONCE in XLA and passed as a constant VMEM input —
+    rebuilding it from iotas inside the kernel cost every program ~0.5M
+    VPU ops."""
+    ta = window * blk_w
+    grp = (jnp.arange(ta, dtype=jnp.int32) % blk_w) // window
+    return jnp.where(grp[:, None] == grp[None, :], 0.0,
+                     -1e9).astype(jnp.float32)
+
+
+def _pool_band_mask(window: int, blk_w: int) -> jnp.ndarray:
+    """(ta/4, ta) mask between 2×2-pooled queries and pre-pool keys of
+    the same band (pooled q col' // (window/2) vs kv col // window)."""
+    ta = window * blk_w
+    qgrp = ((jnp.arange(ta // 4, dtype=jnp.int32) % (blk_w // 2))
+            // (window // 2))
+    kgrp = (jnp.arange(ta, dtype=jnp.int32) % blk_w) // window
+    return jnp.where(qgrp[:, None] == kgrp[None, :], 0.0,
+                     -1e9).astype(jnp.float32)
+
+
+def _scale_q(wqkv, bqkv, c_out, scale):
+    """Fold the softmax 1/√hd into the q columns (first ``c_out`` of the
+    packed [q|k|v] kernel/bias) — exact: (x·Wq + bq)·s = x·(Wq·s) + bq·s."""
+    return (jnp.concatenate([wqkv[:, :c_out] * scale, wqkv[:, c_out:]], 1),
+            jnp.concatenate([bqkv[:c_out] * scale, bqkv[c_out:]]))
 
 
 def _pad_heads(w_cols: jnp.ndarray, num_heads: int, hp: int) -> jnp.ndarray:
@@ -198,9 +295,11 @@ def _attn_vmem(ta, c, hg, hp, wbuf, xbytes):
 _ATTN_BAND = int(os.environ.get("SABER_ATTN_BAND", "256"))
 
 
-def _pick_attn_blocks(nwx: int, t: int, c: int, num_heads: int, hd: int,
-                      xbytes: int, budget: int = 12 * 2**20):
-    """(windows per band g, heads per group hg, padded head width hp).
+def _pick_attn_blocks(nwx: int, window: int, c: int, num_heads: int,
+                      hd: int, xbytes: int, budget: int = 12 * 2**20):
+    """(windows per band g, heads per group hg, padded head width hp),
+    or None when no Mosaic-legal configuration exists (caller falls back
+    to the flax path).
 
     Bands of ~_ATTN_BAND tokens keep the masked-logits waste small while
     filling MXU rows. Preference order (all measured on a v5e chip):
@@ -219,10 +318,18 @@ def _pick_attn_blocks(nwx: int, t: int, c: int, num_heads: int, hd: int,
        — required when no resident variant fits (hiera-L stage 4); an
        unpadded group block of 3·hg·hd lanes is not 128-tileable.
     """
+    t = window * window
     band = max(_ATTN_BAND, t)
     hp128 = max(128, -(-hd // 128) * 128)
+    # Mosaic block rule: the last two block dims (blk_w, c) must be
+    # divisible by (8, 128) or equal the array dims — blk_w = g·window
+    # must be a multiple of 8 (or the full padded width). Windows like 14
+    # (hiera base/small/tiny stage 3) admit no in-budget g; callers fall
+    # back to the flax path when this returns None.
     gs = [g for g in range(min(nwx, max(1, _ATTN_BAND // t)), 0, -1)
-          if nwx % g == 0]
+          if nwx % g == 0 and ((g * window) % 8 == 0 or g == nwx)]
+    if not gs:
+        return None
     for hp_try in (hp128, hd):
         for g in gs:
             ta = g * t
@@ -240,54 +347,79 @@ def _pick_attn_blocks(nwx: int, t: int, c: int, num_heads: int, hd: int,
             if used <= budget and ta <= band:
                 return g, hg, hp128
             fallback = (g, hg, hp128)
-    return fallback if fallback is not None else (1, 1, hp128)
+    return fallback
 
 
 @functools.partial(jax.jit, static_argnames=("window", "num_heads"))
 def fused_window_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                            *, window: int, num_heads: int):
-    """x: (B, H, W, C) with H % window == W % window == 0.
+    """x: (B, H, W, C), any H/W — non-multiples of ``window`` run on a
+    zero-padded canvas with in-kernel validity masking (exact flax/torch
+    pad-after-LN semantics) and the output is cropped back.
 
     Returns x + proj(window_attention(LN(x))) — the first half of a
     same-dim MultiScaleBlock (models/hiera.py:119-147).
     """
+    b, h0, w0, c = x.shape
+    pad_h = (window - h0 % window) % window
+    pad_w = (window - w0 % window) % window
+    valid_hw = (h0, w0) if (pad_h or pad_w) else None
+    if valid_hw is not None:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     b, h, w, c = x.shape
     nwy = h // window
     nwx = w // window
     t = window * window
     hd = c // num_heads
-    g, hg, hp = _pick_attn_blocks(nwx, t, c, num_heads, hd,
-                                  jnp.dtype(x.dtype).itemsize)
+    picked = _pick_attn_blocks(nwx, window, c, num_heads, hd,
+                               jnp.dtype(x.dtype).itemsize)
+    if picked is None:
+        raise ValueError(
+            f"no Mosaic-legal band for window={window}, W={w} — gate "
+            "with fused_attention_applicable() and use the flax path")
+    g, hg, hp = picked
     ngroups = num_heads // hg
 
     # repack weights head-padded and GROUPED: for each head group,
     # [q cols | k cols | v cols] of that group's heads are contiguous, so
-    # the (c, 3·hg·hp) weight block for grid step j is one lane slice
-    wqkv_p, bqkv_p = _group_qkv(wqkv, bqkv, c, num_heads, hp, ngroups, hg)
+    # the (c, 3·hg·hp) weight block for grid step j is one lane slice;
+    # the softmax scale rides the q columns (trace-time, exact)
+    wqkv_s, bqkv_s = _scale_q(wqkv, bqkv, c, hd ** -0.5)
+    wqkv_p, bqkv_p = _group_qkv(wqkv_s, bqkv_s, c, num_heads, hp,
+                                ngroups, hg)
     wproj_p = _pad_heads(wproj.T, num_heads, hp).T      # (H·hp, C), head-major
 
     d3 = 3 * num_heads * hp
     blk_w = g * window
-    return pl.pallas_call(
+    masked = g > 1
+    operands = [x, ln_scale.reshape(1, c), ln_bias.reshape(1, c), wqkv_p,
+                bqkv_p.reshape(1, d3), wproj_p, bproj.reshape(1, c)]
+    in_specs = [
+        pl.BlockSpec((1, window, blk_w, c), lambda i, j, k, l: (i, j, k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, j, k, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, j, k, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 3 * hg * hp), lambda i, j, k, l: (0, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * hg * hp), lambda i, j, k, l: (0, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hg * hp, c), lambda i, j, k, l: (l, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, j, k, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if masked:
+        operands.append(_band_mask(window, blk_w))
+        in_specs.append(pl.BlockSpec((window * blk_w, window * blk_w),
+                                     lambda i, j, k, l: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
         functools.partial(_attn_kernel, window=window, heads_per_group=hg,
-                          head_dim=hd, hp=hp),
+                          hp=hp, masked=masked, valid_hw=valid_hw),
         grid=(b, nwy, nwx // g, ngroups),
-        in_specs=[
-            pl.BlockSpec((1, window, blk_w, c), lambda i, j, k, l: (i, j, k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j, k, l: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j, k, l: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * hg * hp), lambda i, j, k, l: (0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * hg * hp), lambda i, j, k, l: (0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hg * hp, c), lambda i, j, k, l: (l, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j, k, l: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, window, blk_w, c),
                                lambda i, j, k, l: (i, j, k, 0),
                                memory_space=pltpu.VMEM),
@@ -297,8 +429,8 @@ def fused_window_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             pltpu.VMEM((window * blk_w, c), jnp.float32),  # accumulator
         ],
         interpret=_interpret(),
-    )(x, ln_scale.reshape(1, c), ln_bias.reshape(1, c), wqkv_p,
-      bqkv_p.reshape(1, d3), wproj_p, bproj.reshape(1, c))
+    )(*operands)
+    return out[:, :h0, :w0] if valid_hw is not None else out
 
 
 # ---------------------------------------------------------------------------
@@ -327,14 +459,18 @@ def _pool2_tokens(x2, blk_w):
 
 
 def _pool_attn_kernel(x_ref, s_ref, b_ref, wsh_ref, bsh_ref, wqkv_ref,
-                      bqkv_ref, wproj_ref, bproj_ref, out_ref, normed_ref,
-                      acc_ref, *, window, heads_per_group, head_dim, hp):
+                      bqkv_ref, wproj_ref, bproj_ref, *rest,
+                      window, heads_per_group, hp, masked, valid_hw=None):
     """One program = a (window, g·window) pre-pool row-band × one head
     group. Same 2D-tensor discipline as ``_attn_kernel``; the query side
     is 2×2 max-pooled inside the band (column pairs never cross a window
     boundary, so band-level pooling ≡ the flax path's per-window pooling,
     models/hiera.py MultiScaleAttention). The projected shortcut is
-    pooled the same way and seeds the accumulator."""
+    pooled the same way and seeds the accumulator. Softmax scale rides
+    the packed q weights; the window mask is a constant input when the
+    band holds more than one window."""
+    mask_ref = rest[0] if masked else None
+    out_ref, normed_ref, acc_ref = rest[-3:]
     hgrp = pl.program_id(3)
     nh = pl.num_programs(3)
     xb = x_ref[0]                                # (w, blk_w, cin)
@@ -347,9 +483,15 @@ def _pool_attn_kernel(x_ref, s_ref, b_ref, wsh_ref, bsh_ref, wqkv_ref,
 
     tokens = xb.reshape(ta, cin)
 
+    valid = (None if valid_hw is None
+             else _pad_validity(window, blk_w, valid_hw))
+
     @pl.when(hgrp == 0)
     def _():
-        normed_ref[:] = _ln(tokens, s_ref[0], b_ref[0])
+        normed = _ln(tokens, s_ref[0], b_ref[0])
+        if valid is not None:
+            normed = normed * valid.astype(normed.dtype)
+        normed_ref[:] = normed
         sc = jnp.dot(normed_ref[:], wsh_ref[:],
                      preferred_element_type=jnp.float32)
         sc = sc + bsh_ref[0].astype(jnp.float32)
@@ -365,14 +507,6 @@ def _pool_attn_kernel(x_ref, s_ref, b_ref, wsh_ref, bsh_ref, wqkv_ref,
     qp = _pool2_tokens(qkv32[:, :d], blk_w).astype(dt)
     qkv = qkv32.astype(dt)
 
-    # mask: pooled q col' // (window/2) vs kv col // window
-    pi = jax.lax.broadcasted_iota(jnp.int32, (tq, ta), 0)
-    qi = jax.lax.broadcasted_iota(jnp.int32, (tq, ta), 1)
-    same = ((pi % (blk_w // 2)) // (window // 2)
-            == (qi % blk_w) // window)
-    win_bias = jnp.where(same, 0.0, -1e9).astype(jnp.float32)
-
-    scale = head_dim ** -0.5
     outs = []
     for h in range(hg):
         q = qp[:, h * hp:(h + 1) * hp]
@@ -381,7 +515,9 @@ def _pool_attn_kernel(x_ref, s_ref, b_ref, wsh_ref, bsh_ref, wqkv_ref,
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        probs = _softmax(logits * scale + win_bias).astype(dt)
+        if masked:
+            logits = logits + mask_ref[:]
+        probs = _softmax(logits).astype(dt)
         outs.append(jnp.dot(probs, v,
                             preferred_element_type=jnp.float32).astype(dt))
     attn = jnp.concatenate(outs, axis=-1)        # (tq, hg·hp)
@@ -428,14 +564,20 @@ def _pool_attn_vmem(ta, cin, cout, hg, hp, wbuf, xbytes):
             + ta * hg * hp * xbytes)          # q3/attn temporaries
 
 
-def _pick_pool_attn_blocks(nwx, t, cin, cout, num_heads, hd, xbytes,
+def _pick_pool_attn_blocks(nwx, window, cin, cout, num_heads, hd, xbytes,
                            budget=12 * 2**20):
     """(g, hg, hp) for the q-pool kernel — same preference order as
-    ``_pick_attn_blocks`` (resident padded → streamed head groups)."""
+    ``_pick_attn_blocks`` (resident padded → streamed head groups), or
+    None when no Mosaic-legal g exists. Legality covers both the input
+    band (blk_w % 8) and the pooled output block (blk_w/2 % 8), i.e.
+    g·window % 16 — or the full-width band."""
+    t = window * window
     band = max(_ATTN_BAND, t)
     hp128 = max(128, -(-hd // 128) * 128)
     gs = [g for g in range(min(nwx, max(1, _ATTN_BAND // t)), 0, -1)
-          if nwx % g == 0]
+          if nwx % g == 0 and ((g * window) % 16 == 0 or g == nwx)]
+    if not gs:
+        return None
     for g in gs:
         ta = g * t
         if (ta <= band and _pool_attn_vmem(
@@ -452,7 +594,7 @@ def _pick_pool_attn_blocks(nwx, t, cin, cout, num_heads, hd, xbytes,
             if used <= budget and ta <= band:
                 return g, hg, hp128
             fallback = (g, hg, hp128)
-    return fallback if fallback is not None else (1, 1, hp128)
+    return fallback
 
 
 @functools.partial(jax.jit, static_argnames=("window", "num_heads"))
@@ -462,48 +604,74 @@ def fused_pool_attention(x, ln_scale, ln_bias, wshort, bshort, wqkv, bqkv,
     maxpool2(Dense_proj(LN(x))) + proj(attn(pool_q(qkv(LN(x))))) at half
     resolution and ``cout = wshort.shape[1]`` channels — the q-pool
     branch of MultiScaleBlock (models/hiera.py _attention_path, torch
-    hiera q_stride semantics). Requires H, W divisible by ``window`` and
-    an even ``window``; callers fall back to the flax path otherwise."""
+    hiera q_stride semantics). Requires even H, W and ``window``; H/W
+    that aren't window multiples run on a zero-padded canvas with
+    pad-after-LN validity masking (exact flax/torch parity) and the
+    output is cropped back to (H/2, W/2)."""
+    b, h0, w0, cin = x.shape
+    pad_h = (window - h0 % window) % window
+    pad_w = (window - w0 % window) % window
+    valid_hw = (h0, w0) if (pad_h or pad_w) else None
+    if valid_hw is not None:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     b, h, w, cin = x.shape
     cout = wshort.shape[1]
     nwy = h // window
     nwx = w // window
     t = window * window
     hd = cout // num_heads
-    g, hg, hp = _pick_pool_attn_blocks(nwx, t, cin, cout, num_heads, hd,
-                                       jnp.dtype(x.dtype).itemsize)
+    picked = _pick_pool_attn_blocks(nwx, window, cin, cout, num_heads, hd,
+                                    jnp.dtype(x.dtype).itemsize)
+    if picked is None:
+        raise ValueError(
+            f"no Mosaic-legal band for window={window}, W={w} — gate "
+            "with fused_pool_applicable() and use the flax path")
+    g, hg, hp = picked
     ngroups = num_heads // hg
 
-    wqkv_p, bqkv_p = _group_qkv(wqkv, bqkv, cout, num_heads, hp, ngroups, hg)
+    wqkv_s, bqkv_s = _scale_q(wqkv, bqkv, cout, hd ** -0.5)
+    wqkv_p, bqkv_p = _group_qkv(wqkv_s, bqkv_s, cout, num_heads, hp,
+                                ngroups, hg)
     wproj_p = _pad_heads(wproj.T, num_heads, hp).T      # (H·hp, cout)
 
     d3 = 3 * num_heads * hp
     blk_w = g * window
-    return pl.pallas_call(
+    masked = g > 1
+    operands = [x, ln_scale.reshape(1, cin), ln_bias.reshape(1, cin),
+                wshort, bshort.reshape(1, cout), wqkv_p,
+                bqkv_p.reshape(1, d3), wproj_p, bproj.reshape(1, cout)]
+    in_specs = [
+        pl.BlockSpec((1, window, blk_w, cin),
+                     lambda i, j, k, l: (i, j, k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cin), lambda i, j, k, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cin), lambda i, j, k, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cin, cout), lambda i, j, k, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda i, j, k, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cin, 3 * hg * hp), lambda i, j, k, l: (0, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * hg * hp), lambda i, j, k, l: (0, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hg * hp, cout), lambda i, j, k, l: (l, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda i, j, k, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if masked:
+        operands.append(_pool_band_mask(window, blk_w))
+        in_specs.append(pl.BlockSpec(
+            (window * blk_w // 4, window * blk_w),
+            lambda i, j, k, l: (0, 0), memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
         functools.partial(_pool_attn_kernel, window=window,
-                          heads_per_group=hg, head_dim=hd, hp=hp),
+                          heads_per_group=hg, hp=hp, masked=masked,
+                          valid_hw=valid_hw),
         grid=(b, nwy, nwx // g, ngroups),
-        in_specs=[
-            pl.BlockSpec((1, window, blk_w, cin),
-                         lambda i, j, k, l: (i, j, k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cin), lambda i, j, k, l: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cin), lambda i, j, k, l: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cin, cout), lambda i, j, k, l: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i, j, k, l: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cin, 3 * hg * hp), lambda i, j, k, l: (0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * hg * hp), lambda i, j, k, l: (0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hg * hp, cout), lambda i, j, k, l: (l, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i, j, k, l: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, window // 2, blk_w // 2, cout),
                                lambda i, j, k, l: (i, j, k, 0),
                                memory_space=pltpu.VMEM),
@@ -513,9 +681,8 @@ def fused_pool_attention(x, ln_scale, ln_bias, wshort, bshort, wqkv, bqkv,
             pltpu.VMEM((window * blk_w // 4, cout), jnp.float32),  # acc
         ],
         interpret=_interpret(),
-    )(x, ln_scale.reshape(1, cin), ln_bias.reshape(1, cin), wshort,
-      bshort.reshape(1, cout), wqkv_p, bqkv_p.reshape(1, d3), wproj_p,
-      bproj.reshape(1, cout))
+    )(*operands)
+    return (out[:, :h0 // 2, :w0 // 2] if valid_hw is not None else out)
 
 
 # ---------------------------------------------------------------------------

@@ -163,3 +163,26 @@ def test_fused_pool_block_head_group_streaming(rng, monkeypatch):
     ref = ref_b.apply({"params": params}, x)
     out = fused_b.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_fused_block_nondivisible_window(rng):
+    """H/W not multiples of the window (hiera base/small/tiny window-14
+    stage): fused runs on a padded canvas with pad-after-LN masking and
+    must match the flax pad->attend->crop path exactly."""
+    for kw, q in ((dict(dim=32, dim_out=32, num_heads=2, window_size=6),
+                   None),
+                  (dict(dim=32, dim_out=64, num_heads=2, window_size=6),
+                   (2, 2))):
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 32))
+                        .astype(np.float32))
+        ref_b = MultiScaleBlock(fused=False, q_stride=q, **kw)
+        fused_b = MultiScaleBlock(fused=True, q_stride=q, **kw)
+        params = ref_b.init(jax.random.PRNGKey(0), x)["params"]
+        params = jax.tree.map(
+            lambda a: jnp.asarray(0.05 * rng.standard_normal(a.shape),
+                                  a.dtype), params)
+        ref = ref_b.apply({"params": params}, x)
+        out = fused_b.apply({"params": params}, x)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5)
