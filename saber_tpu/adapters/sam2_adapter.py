@@ -179,9 +179,10 @@ class SAM2Adapter(BaseAdapter):
         self._vol_shape = tuple(tomogram.shape)
         self.frame_metrics = {}
         z, h, w = tomogram.shape
+        from saber_tpu.ops.preprocessing import upload_volume
         self.inference_state = {
             "volume": (np.asarray(tomogram) if offload_video_to_cpu
-                       else jnp.asarray(tomogram)),
+                       else upload_volume(tomogram)),
             "vmin": float(tomogram.min()),
             "vmax": float(tomogram.max()),
             "num_frames": z,
@@ -594,7 +595,7 @@ class SAM2Adapter(BaseAdapter):
         lut[:, 1:][boundaries < min_presence_score] = 0
         lowlab = lut[np.arange(z)[:, None, None], lowlab]
 
-        return _expand_labels(lowlab, h, w).astype(np.uint16)
+        return _expand_labels(lowlab, h, w).astype(np.uint16, copy=False)
 
     def segment_volume_multi_seed(self, seeds_by_frame, vol_shape=None,
                                   max_frame_num_to_track=None,
@@ -743,7 +744,7 @@ class SAM2Adapter(BaseAdapter):
         lut[:, n_obj + 1:] = 0     # padding slots never keep labels
         lowlab = lut[np.arange(z)[:, None, None], lowlab]
 
-        return _expand_labels(lowlab, h, w).astype(np.uint16)
+        return _expand_labels(lowlab, h, w).astype(np.uint16, copy=False)
 
     def _presence_scores(self, frame_scores: np.ndarray) -> np.ndarray:
         """(Z, n_obj) raw object-score logits → per-frame presence in [0,1].

@@ -66,9 +66,17 @@ def _smooth(x: jnp.ndarray, sigma: float, dim: int) -> jnp.ndarray:
 
 
 def gaussian_smoothing(input_tensor, sigma: float, dim: int = -1):
-    """1-D Gaussian smoothing along `dim` (reference gaussian.py:17-74)."""
+    """1-D Gaussian smoothing along `dim` (reference gaussian.py:17-74).
+
+    Device arrays keep their dtype on entry and widen to fp32 INSIDE the
+    jitted kernel (``_conv1d_along``'s leading cast) — fp16 wire uploads
+    (``preprocessing.upload_volume(..., widen=False)``) smooth without a
+    separate convert program, which matters on remote-TPU relays where
+    every distinct executable pays first-call loader overhead. Output is
+    always fp32."""
     return_numpy = isinstance(input_tensor, np.ndarray)
-    x = jnp.asarray(input_tensor, jnp.float32)
+    x = (jnp.asarray(np.asarray(input_tensor, np.float32)) if return_numpy
+         else jnp.asarray(input_tensor))
     dim = dim % x.ndim
     out = _smooth(x, float(sigma), dim)
     return np.asarray(out) if return_numpy else out

@@ -20,6 +20,31 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def upload_volume(vol, widen: bool = True) -> jnp.ndarray:
+    """Move a host tomogram to device, shipping fp16 over the wire.
+
+    Host fp32 volumes headed for an accelerator are cast to fp16 before
+    the transfer and widened back on device: the values feed a bf16
+    compute pipeline (8-bit mantissa), so fp16 quantization (11-bit) is
+    below the compute noise floor, and the bytes on the host↔device link
+    halve — worth ~15-18 s per 512³ volume on the ~15-19 MB/s remote-TPU
+    relay (docs/benchmarks.md), and still a win on normal PCIe hosts.
+    The host-side cast is cheap (~0.6 s per 512³, measured). CPU backends
+    and non-fp32 inputs upload unchanged.
+
+    ``widen=False`` returns the raw fp16 device array for consumers whose
+    jitted first op casts to fp32 themselves (``gaussian_smoothing``) —
+    that skips the standalone convert program, which on remote-TPU relays
+    pays material first-call loader overhead.
+    """
+    if (isinstance(vol, np.ndarray) and vol.dtype == np.float32
+            and jax.default_backend() != "cpu"):
+        wire = jnp.asarray(vol.astype(np.float16))
+        return wire.astype(jnp.float32) if widen else wire
+    return jnp.asarray(vol, jnp.float32)
 
 
 def _uniform_filter_1d(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:

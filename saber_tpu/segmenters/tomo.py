@@ -38,9 +38,8 @@ class tomoSegmenter(saber3D):
         jnp out); only the projected 2D image transfers to host. Round-
         tripping the full 512-cubed volume per stage cost ~1.5 GB of
         host↔device traffic before."""
-        import jax.numpy as jnp
         self.vol = preprocess.normalize(
-            gaussian_smoothing(jnp.asarray(vol, jnp.float32), 5, dim=0))
+            gaussian_smoothing(preprocess.upload_volume(vol, widen=False), 5, dim=0))
         if zSlice is None:
             zSlice = int(self.vol.shape[0] // 2)
         self.image0 = np.asarray(
@@ -147,10 +146,9 @@ class multiDepthTomoSegmenter(tomoSegmenter):
         (those are distinct 2D problems); smoothing/normalization run
         once. Output matches ``single_segment``'s binarized max-merge.
         """
-        import jax.numpy as jnp
         self.is_tomogram_mode = True
         self.vol = preprocess.normalize(
-            gaussian_smoothing(jnp.asarray(vol, jnp.float32), 5, dim=0))
+            gaussian_smoothing(preprocess.upload_volume(vol, widen=False), 5, dim=0))
 
         seeds_by_frame = {}
         for slab_center in self._slab_centers(vol.shape[0], num_slabs, delta_z):

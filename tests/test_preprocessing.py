@@ -77,3 +77,25 @@ def test_prepare_rgb(rng):
     assert out.dtype == np.float32
     np.testing.assert_allclose(out[..., 0], out[..., 1])
     assert out.min() >= 0 and out.max() <= 1.0 + 1e-6
+
+
+def test_upload_volume_cpu_noop(rng):
+    vol = rng.standard_normal((4, 8, 8)).astype(np.float32)
+    out = prep.upload_volume(vol)
+    assert out.dtype == np.float32 if hasattr(out, "dtype") else True
+    np.testing.assert_array_equal(np.asarray(out), vol)
+
+
+def test_upload_volume_fp16_wire(monkeypatch, rng):
+    """On accelerator backends host fp32 ships fp16 then widens on device:
+    result == fp32(fp16(x)), dtype fp32."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    vol = rng.standard_normal((4, 8, 8)).astype(np.float32)
+    out = np.asarray(prep.upload_volume(vol))
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, vol.astype(np.float16).astype(np.float32))
+    # non-fp32 inputs and device arrays upload unchanged
+    v64 = vol.astype(np.float64)
+    np.testing.assert_array_equal(np.asarray(prep.upload_volume(v64)), vol)
