@@ -11,9 +11,12 @@ SABER_BENCH_SIDE (512), SABER_BENCH_IMAGE (1024).
 """
 
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -65,7 +68,7 @@ def main():
     vol[z0:z1, q // 2:q, q // 2:q] += 2.5
     mark("make volume (host)")
 
-    vol_dev = jnp.asarray(vol)
+    vol_dev = prep.upload_volume(vol)          # fp16 wire, widened on device
     np.asarray(vol_dev[0, 0, :1])
     mark("volume upload")
 
