@@ -130,12 +130,33 @@ class SAM2Adapter(BaseAdapter):
         the encoder; the propagation scan stays sequential per object).
         Pass a ``jax.sharding.Mesh`` with a ``data`` axis; ``encode_chunk``
         rounds up to a multiple of the axis size so every chunk shards
-        evenly."""
+        evenly.
+
+        Multi-chip keeps the fused one-program-per-direction architecture:
+        params and the resident volume replicate over the mesh (512³ fp32 =
+        512 MB/chip — fits v5e HBM; z-sharding the volume would put a
+        cross-shard gather on the scan's dynamic slice path), the slab
+        encode inside ``_direction_program``'s scan body shards over
+        ``data``, and the sequential tracking scan runs replicated after
+        one all-gather of the (small) backbone features per chunk.
+        """
         self.mesh = mesh
+        # mesh-captured programs are stale the moment the mesh changes
+        self._dir_jit = None
+        self._seed_jit = None
+        self._multi_seed_jits = {}
         if mesh is not None:
+            from saber_tpu.parallel.mesh import replicate
             n = int(np.prod(mesh.devices.shape))
             self.encode_chunk = max(self.encode_chunk,
                                     ((self.encode_chunk + n - 1) // n) * n)
+            self.params = replicate(mesh, self.params)
+            state = self.inference_state
+            if state is not None and not isinstance(state["volume"], np.ndarray):
+                state["volume"] = replicate(mesh, state["volume"])
+
+    def _mesh_axis_size(self) -> int:
+        return 1 if self.mesh is None else int(np.prod(self.mesh.devices.shape))
 
     # ------------------------------------------------------------------
     # 2D segmentation
@@ -170,8 +191,12 @@ class SAM2Adapter(BaseAdapter):
         on the fly, fused ahead of the encoder — instead of materializing
         the reference's (Z, 3, 1024, 1024) fp32 frame tensor
         (its "memory cliff", SURVEY.md §3 hot-loop (d))."""
+        from saber_tpu.ops.preprocessing import RAW_WIRE_DTYPES, upload_volume
         if isinstance(tomogram, np.ndarray):
-            tomogram = tomogram.astype(np.float32, copy=False)
+            # narrow int sources stay narrow: exact in fp32, and they ship
+            # raw over the wire (2-4x fewer bytes than a host-side widen)
+            if tomogram.dtype not in RAW_WIRE_DTYPES:
+                tomogram = tomogram.astype(np.float32, copy=False)
         else:
             # already a device array: keep it resident — round-tripping a
             # 512-cubed volume through the host costs ~1 GB of transfers
@@ -179,10 +204,18 @@ class SAM2Adapter(BaseAdapter):
         self._vol_shape = tuple(tomogram.shape)
         self.frame_metrics = {}
         z, h, w = tomogram.shape
-        from saber_tpu.ops.preprocessing import upload_volume
+        if offload_video_to_cpu:
+            volume = np.asarray(tomogram)
+        else:
+            # widen=False: the volume stays resident in the narrow wire
+            # dtype (halves HBM for 512-cubed fp32 sources) — every device
+            # consumer (_prepare_slab) casts to fp32 as its first jitted op
+            volume = upload_volume(tomogram, widen=False)
+            if self.mesh is not None:
+                from saber_tpu.parallel.mesh import replicate
+                volume = replicate(self.mesh, volume)
         self.inference_state = {
-            "volume": (np.asarray(tomogram) if offload_video_to_cpu
-                       else upload_volume(tomogram)),
+            "volume": volume,
             "vmin": float(tomogram.min()),
             "vmax": float(tomogram.max()),
             "num_frames": z,
@@ -337,6 +370,24 @@ class SAM2Adapter(BaseAdapter):
         size = self.model.config.image_size
         prepare = self.preprocessor.prepare_slab
         chunk = min(self.encode_chunk, s_pad)
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            frame_sharding = NamedSharding(mesh, P("data"))
+            rep_sharding = NamedSharding(mesh, P())
+
+        def _encode(params, im):
+            # mesh: seed-slab encode shards over data (im batch is a
+            # multiple of the axis size by construction), features gather
+            # to replicated for the per-object gather/seed
+            if mesh is not None:
+                im = jax.lax.with_sharding_constraint(im, frame_sharding)
+            bb = core.encode_batch(params, im)
+            if mesh is not None:
+                bb = jax.tree.map(
+                    lambda x: (jax.lax.with_sharding_constraint(x, rep_sharding)
+                               if getattr(x, "ndim", 0) == 4 else x), bb)
+            return bb
 
         def run(params, volume, vmin, vmax, frame_idxs, slot_of_obj,
                 masks, cond, valid):
@@ -349,12 +400,12 @@ class SAM2Adapter(BaseAdapter):
                     imgs = jnp.concatenate(
                         [imgs, jnp.repeat(imgs[-1:], pad, axis=0)], axis=0)
                 bb_g = jax.lax.map(
-                    lambda im: core.encode_batch(params, im),
+                    lambda im: _encode(params, im),
                     imgs.reshape(n_g, chunk, *imgs.shape[1:]))
                 bb_u = jax.tree.map(
                     lambda x: x.reshape(-1, *x.shape[2:])[:s_pad], bb_g)
             else:
-                bb_u = core.encode_batch(params, imgs)
+                bb_u = _encode(params, imgs)
             bb_obj = jax.tree.map(lambda x: x[slot_of_obj], bb_u)
             pstate = init_state(cap, core.cfg)
             return core.seed(params, bb_obj, masks, cond, pstate, valid)
@@ -431,6 +482,13 @@ class SAM2Adapter(BaseAdapter):
         125 s on the TPU relay (~100 s of structure vs ~22 s of math;
         reference semantics: saber/adapters/sam2/predictor.py:289-318).
         Here a direction is 1 dispatch + one 33 MB label transfer.
+
+        Under a mesh the SAME program runs multi-chip: the chunk's slab
+        encode (all the FLOPs) shards over the ``data`` axis — chunk is a
+        multiple of the axis size, see ``set_mesh`` — and the backbone
+        features gather to replicated before the sequential tracking scan
+        (small: low-res attention per frame). One dispatch per direction
+        is preserved; XLA inserts the all-gather over ICI.
         """
         if self._dir_jit is not None and self._dir_jit_chunk == self.encode_chunk:
             return self._dir_jit
@@ -438,6 +496,11 @@ class SAM2Adapter(BaseAdapter):
         size = self.model.config.image_size
         chunk = self.encode_chunk
         prepare = self.preprocessor.prepare_slab
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            frame_sharding = NamedSharding(mesh, P("data"))
+            rep_sharding = NamedSharding(mesh, P())
 
         def run(params, pstate, volume, vmin, vmax, order, fvalid, sign, span):
             n_chunks = order.shape[0] // chunk
@@ -446,10 +509,17 @@ class SAM2Adapter(BaseAdapter):
                 idxs, val = inp
                 slab = jnp.take(volume, idxs, axis=0)
                 frames_img = prepare(slab, vmin, vmax, size)
+                if mesh is not None:
+                    frames_img = jax.lax.with_sharding_constraint(
+                        frames_img, frame_sharding)
                 bb = core.encode_batch(params, frames_img)
+                frames = VideoCore.slab_frames(bb)
+                if mesh is not None:
+                    frames = jax.tree.map(
+                        lambda x: jax.lax.with_sharding_constraint(
+                            x, rep_sharding), frames)
                 ps, (low, scores) = core.propagate_slab(
-                    params, ps, VideoCore.slab_frames(bb), idxs, sign,
-                    span, val)
+                    params, ps, frames, idxs, sign, span, val)
                 return ps, (_paint_low(low), scores)
 
             ps, (labels, scores) = jax.lax.scan(
@@ -464,7 +534,10 @@ class SAM2Adapter(BaseAdapter):
         return self._dir_jit
 
     def _use_fused_direction(self, state) -> bool:
-        return self.mesh is None and not isinstance(state["volume"], np.ndarray)
+        """Fused one-program-per-direction needs a device-resident volume.
+        Meshes are supported: the direction program shards its slab encode
+        over the mesh's ``data`` axis (see ``_direction_program``)."""
+        return not isinstance(state["volume"], np.ndarray)
 
     def _dispatch_direction(self, state, pstate, order: np.ndarray,
                             sign: float, span_val: float):
@@ -653,8 +726,10 @@ class SAM2Adapter(BaseAdapter):
         use_fused = self._use_fused_direction(state)
         if use_fused:
             # one program: gather + preprocess + encode + gather + seed
-            # (seed-frame count pads to a multiple of 4 to bound recompiles)
-            s_pad = -4 * (-len(seed_frames) // 4)
+            # (seed-frame count pads to a multiple of 4 to bound recompiles;
+            # under a mesh, to a multiple the data axis divides evenly)
+            mult = int(np.lcm(4, self._mesh_axis_size()))
+            s_pad = -mult * (-len(seed_frames) // mult)
             fidx_p = np.asarray(
                 seed_frames + [seed_frames[-1]] * (s_pad - len(seed_frames)),
                 np.int32)

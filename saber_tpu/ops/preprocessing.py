@@ -23,8 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Narrow source dtypes that ship over the wire as-is: exact (every value
+# representable in fp32) and at most 2 bytes/voxel. EM tomograms are
+# commonly int8/int16 at rest (reference preprocessing contract:
+# saber/utils/preprocessing.py:20-37 normalizes whatever dtype arrives).
+RAW_WIRE_DTYPES = (np.int8, np.uint8, np.int16, np.uint16, np.float16)
+
+
 def upload_volume(vol, widen: bool = True) -> jnp.ndarray:
-    """Move a host tomogram to device, shipping fp16 over the wire.
+    """Move a host tomogram to device, narrowing the wire format.
 
     Host fp32 volumes headed for an accelerator are cast to fp16 before
     the transfer and widened back on device: the values feed a bf16
@@ -32,18 +39,25 @@ def upload_volume(vol, widen: bool = True) -> jnp.ndarray:
     below the compute noise floor, and the bytes on the host↔device link
     halve — worth ~15-18 s per 512³ volume on the ~15-19 MB/s remote-TPU
     relay (docs/benchmarks.md), and still a win on normal PCIe hosts.
-    The host-side cast is cheap (~0.6 s per 512³, measured). CPU backends
-    and non-fp32 inputs upload unchanged.
+    The host-side cast is cheap (~0.6 s per 512³, measured).
 
-    ``widen=False`` returns the raw fp16 device array for consumers whose
-    jitted first op casts to fp32 themselves (``gaussian_smoothing``) —
-    that skips the standalone convert program, which on remote-TPU relays
-    pays material first-call loader overhead.
+    int8/uint8/int16/uint16/fp16 sources ship RAW — exact (int16 ⊂ fp32,
+    unlike an fp16 detour) and 2-4× fewer wire bytes than widening on the
+    host. Normalization happens on device (``prepare_slab`` casts to fp32
+    as its first op). CPU backends and other dtypes upload as fp32.
+
+    ``widen=False`` returns the narrow device array for consumers whose
+    jitted first op casts to fp32 themselves (``gaussian_smoothing``,
+    ``_prepare_slab``) — that skips the standalone convert program, which
+    on remote-TPU relays pays material first-call loader overhead.
     """
-    if (isinstance(vol, np.ndarray) and vol.dtype == np.float32
-            and jax.default_backend() != "cpu"):
-        wire = jnp.asarray(vol.astype(np.float16))
-        return wire.astype(jnp.float32) if widen else wire
+    if isinstance(vol, np.ndarray) and jax.default_backend() != "cpu":
+        if vol.dtype == np.float32:
+            wire = jnp.asarray(vol.astype(np.float16))
+            return wire.astype(jnp.float32) if widen else wire
+        if vol.dtype in RAW_WIRE_DTYPES:
+            wire = jnp.asarray(vol)
+            return wire.astype(jnp.float32) if widen else wire
     return jnp.asarray(vol, jnp.float32)
 
 

@@ -99,6 +99,87 @@ def test_segment_volume_uneven_chunk_tail(adapter, rng):
     assert set(np.unique(out)) <= {0, 1}
 
 
+class TestMeshFused:
+    """The fused direction program under an 8-device virtual mesh must
+    produce the same labels as (a) the unfused per-chunk mesh path and
+    (b) the single-chip fused path — batch sharding doesn't change
+    per-slice math, so labels are identical (VERDICT r3 weak #1)."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        from saber_tpu.parallel.mesh import make_mesh
+        return make_mesh(8)
+
+    def _run(self, rng, mesh, offload, multi_seed=False):
+        cfg = SAM2AdapterConfig(cfg="tiny", image_size=IMG, dtype="float32")
+        ad = SAM2Adapter(cfg, encode_chunk=4)
+        if mesh is not None:
+            ad.set_mesh(mesh)
+        vol = _volume(np.random.default_rng(7), z=17)
+        ad.set_volume(vol, offload_video_to_cpu=offload)
+        assert ad._use_fused_direction(ad.inference_state) == (not offload)
+        if multi_seed:
+            out = ad.segment_volume_multi_seed(
+                {4: [_seed_mask()], 11: [_seed_mask()]},
+                min_presence_score=0.0)
+        else:
+            out = ad.segment_volume(start_frame_idx=8, masks=[_seed_mask()],
+                                    min_presence_score=0.0)
+        if mesh is not None and not offload:
+            assert ad._dir_jit is not None
+        return out
+
+    def test_mesh_fused_matches_unfused_and_single_chip(self, rng, mesh):
+        mesh_fused = self._run(rng, mesh, offload=False)
+        mesh_chunked = self._run(rng, mesh, offload=True)
+        single_fused = self._run(rng, None, offload=False)
+        assert mesh_fused.max() >= 1
+        assert np.array_equal(mesh_fused, mesh_chunked)
+        assert np.array_equal(mesh_fused, single_fused)
+
+    def test_mesh_fused_multi_seed(self, rng, mesh):
+        mesh_fused = self._run(rng, mesh, offload=False, multi_seed=True)
+        single_fused = self._run(rng, None, offload=False, multi_seed=True)
+        assert mesh_fused.max() >= 1
+        assert np.array_equal(mesh_fused, single_fused)
+
+
+def test_segment_volume_int16_resident_matches_fp32(rng, monkeypatch):
+    """Raw-int16 wire upload + narrow-resident volume produces identical
+    labels to the fp32 path: int16 is fp32-exact and _prepare_slab casts
+    as its first jitted op (VERDICT r3 item 6).
+
+    The backend monkeypatch makes upload_volume take the accelerator wire
+    path on the CPU test backend, so the int16 run really keeps an
+    int16-resident device volume through the fused direction program."""
+    vol16 = (np.random.default_rng(3).integers(-3000, 3000, (6, 40, 48))
+             .astype(np.int16))
+    seed = np.zeros((40, 48), np.float32)
+    seed[10:30, 12:36] = 1.0
+
+    def run(v, patch):
+        if patch:
+            # the backend patch routes upload_volume onto the accelerator
+            # wire path; pin the fused-encoder default OFF so the "tpu"
+            # answer doesn't also select Pallas kernels (CPU test backend)
+            monkeypatch.setenv("SABER_FUSED_BLOCK", "0")
+            monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        else:
+            monkeypatch.undo()
+        ad = SAM2Adapter(SAM2AdapterConfig(cfg="tiny", image_size=IMG,
+                                           dtype="float32"), encode_chunk=4)
+        ad.set_volume(v)
+        if patch:
+            assert ad.inference_state["volume"].dtype == np.int16
+        return ad.segment_volume(start_frame_idx=2, masks=[seed],
+                                 min_presence_score=0.0)
+
+    out16 = run(vol16, patch=True)
+    out32 = run(vol16.astype(np.float32), patch=False)
+    assert out16.max() >= 1
+    np.testing.assert_array_equal(out16, out32)
+
+
 def test_reset_state_deep(adapter, rng):
     vol = _volume(rng)
     adapter.set_volume(vol)

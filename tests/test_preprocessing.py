@@ -99,3 +99,23 @@ def test_upload_volume_fp16_wire(monkeypatch, rng):
     # non-fp32 inputs and device arrays upload unchanged
     v64 = vol.astype(np.float64)
     np.testing.assert_array_equal(np.asarray(prep.upload_volume(v64)), vol)
+
+
+def test_upload_volume_raw_int_wire(monkeypatch, rng):
+    """int8/uint8/int16/uint16 sources ship raw (exact) and widen to fp32
+    on device; widen=False keeps the narrow resident dtype."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for dt in (np.int8, np.uint8, np.int16, np.uint16):
+        info = np.iinfo(dt)
+        vol = rng.integers(info.min, info.max, (4, 8, 8)).astype(dt)
+        out = prep.upload_volume(vol)
+        assert out.dtype == np.float32
+        np.testing.assert_array_equal(np.asarray(out), vol.astype(np.float32))
+        narrow = prep.upload_volume(vol, widen=False)
+        assert narrow.dtype == dt
+        np.testing.assert_array_equal(np.asarray(narrow), vol)
+    # int32 can exceed fp16/fp32-exact range — takes the generic fp32 path
+    v32 = rng.integers(0, 1 << 20, (4, 8, 8)).astype(np.int32)
+    assert prep.upload_volume(v32).dtype == np.float32
