@@ -83,7 +83,9 @@ class TorchVideoStep:
             self.mem_layers.append(layer)
         self.final_norm_w = tsd["memory_attention.norm.weight"]
         self.final_norm_b = tsd["memory_attention.norm.bias"]
-        self.maskmem_tpos = tsd["maskmem_tpos_enc"]          # (n, 1, 1, md)
+        # checkpoints carry 7 tpos rows; truncate to the config's window —
+        # the same semantics as the JAX converter (weights.py:175)
+        self.maskmem_tpos = tsd["maskmem_tpos_enc"][:cfg.num_maskmem]
         self.no_obj_spatial = tsd["no_obj_embed_spatial"]    # (1, md)
         self.no_mem_embed = tsd["no_mem_embed"]              # (1, 1, d)
         fs = cfg.feat_size
