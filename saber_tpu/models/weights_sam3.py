@@ -291,3 +291,113 @@ def report_unconsumed_keys(sd: Dict[str, Any], model) -> List[str]:
     expected = set(expected_sam3_state_dict_shapes(model))
     expected.add("maskmem_tpos_enc")  # truncation: any leading size ≥ num_maskmem
     return sorted(k for k in normalize_sam3_keys(sd) if k not in expected)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint layout validation (`python -m saber_tpu.models.weights_sam3
+# check <path>`).
+#
+# PROVENANCE / RISK: ``expected_sam3_state_dict_shapes`` is a
+# reconstruction of the official SAM3 checkpoint layout (the reference
+# consumes it through the external ``sam3`` package,
+# saber/adapters/sam3/predictor.py:98-113; the checkpoint itself is
+# HF-gated and unavailable in this environment). The goldens in
+# tests/test_sam3_golden.py validate the converter against an independent
+# torch re-implementation of the SAME reconstruction — they cannot catch a
+# key-name or layout divergence from the real release. This checker turns
+# the first real checkpoint load into a one-minute diff instead of a
+# debugging session.
+# ---------------------------------------------------------------------------
+
+
+def check_state_dict(sd: Dict[str, Any], model) -> Dict[str, list]:
+    """Diff an arbitrary state dict's keys/shapes against the layout this
+    converter consumes. Returns {"missing", "unexpected",
+    "shape_mismatch"} lists; all empty ⇒ the checkpoint will convert."""
+    expected = expected_sam3_state_dict_shapes(model)
+    got = {k: tuple(getattr(v, "shape", ())) for k, v in
+           normalize_sam3_keys(sd).items()}
+    missing = sorted(k for k in expected if k not in got)
+    unexpected = report_unconsumed_keys(sd, model)
+    mismatch = []
+    for k, want in expected.items():
+        if k in got and got[k] != tuple(want):
+            if (k == "maskmem_tpos_enc" and len(got[k]) == len(want)
+                    and got[k][1:] == tuple(want)[1:]
+                    and got[k][0] >= want[0]):
+                continue  # converter truncates the leading maskmem axis
+            mismatch.append((k, got[k], tuple(want)))
+    return {"missing": missing, "unexpected": unexpected,
+            "shape_mismatch": mismatch}
+
+
+def _load_raw_state_dict(path: str) -> Dict[str, Any]:
+    """Load a raw (unconverted) state dict: torch .pt/.pth pickles, .npz,
+    or .safetensors when that package exists."""
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file  # optional dep, gated
+        return load_file(path)
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def format_check_report(report: Dict[str, list], head: int = 20) -> str:
+    """Human-readable layout diff (grouped, truncated past ``head``)."""
+    lines = []
+    ok = not any(report.values())
+    lines.append("layout check: " + ("OK — checkpoint will convert" if ok
+                                     else "MISMATCH"))
+    for name, rows in (("missing (expected, not in checkpoint)",
+                        report["missing"]),
+                       ("unexpected (in checkpoint, not consumed)",
+                        report["unexpected"])):
+        lines.append(f"  {name}: {len(rows)}")
+        for k in rows[:head]:
+            lines.append(f"    - {k}")
+        if len(rows) > head:
+            lines.append(f"    … and {len(rows) - head} more")
+    rows = report["shape_mismatch"]
+    lines.append(f"  shape mismatches: {len(rows)}")
+    for k, got, want in rows[:head]:
+        lines.append(f"    - {k}: checkpoint {got} vs expected {want}")
+    if len(rows) > head:
+        lines.append(f"    … and {len(rows) - head} more")
+    return "\n".join(lines)
+
+
+def _main(argv: List[str]) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m saber_tpu.models.weights_sam3",
+        description="SAM3 checkpoint layout tools")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    chk = sub.add_parser("check", help="diff a checkpoint's keys/shapes "
+                         "against the converter's expected layout")
+    chk.add_argument("path", help=".pt/.pth/.npz/.safetensors state dict")
+    chk.add_argument("--cfg", default="large", help="SAM3 config name")
+    chk.add_argument("--image-size", type=int, default=None)
+    chk.add_argument("--dump-keys", action="store_true",
+                     help="also print every expected key and shape")
+    args = ap.parse_args(argv)
+
+    from saber_tpu.models.sam3 import SAM3, get_config
+
+    model = SAM3(get_config(args.cfg, image_size=args.image_size))
+    if args.dump_keys:
+        for k, shape in sorted(expected_sam3_state_dict_shapes(model).items()):
+            print(f"{k}\t{tuple(shape)}")
+    report = check_state_dict(_load_raw_state_dict(args.path), model)
+    print(format_check_report(report))
+    return 0 if not any(report.values()) else 1
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via subprocess test
+    import sys
+
+    sys.exit(_main(sys.argv[1:]))
