@@ -74,13 +74,17 @@ def main():
         img = rng.random((args.image_size, args.image_size, 3)).astype(np.float32)
 
     # ---- encoder parity ----------------------------------------------------
-    tpred.set_image((img * 255).astype(np.uint8))
+    # both stacks consume the SAME uint8 image: the torch predictor
+    # quantizes internally, so the JAX side must normalize the quantized
+    # values too — otherwise up-to-1/255 input skew pollutes the deltas
+    img8 = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    tpred.set_image(img8)
     t_embed = tpred._features["image_embed"][0].cpu().numpy()  # (256, h, w)
 
     # match torch preprocessing: uint8 → imagenet normalize (SAM2ImagePredictor)
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
-    jimg = (img - mean) / std
+    jimg = (img8.astype(np.float32) / 255.0 - mean) / std
     bb = jmodel.apply({"params": jparams}, jnp.asarray(jimg[None]),
                       method=SAM2.encode_image)
     j_embed = np.asarray(bb["vision_features"][0]).transpose(2, 0, 1)
@@ -91,8 +95,9 @@ def main():
 
     # ---- point-prompt mask parity ------------------------------------------
     ious = []
+    margin = max(1, args.image_size // 4)
     for _ in range(8):
-        pt = rng.integers(64, args.image_size - 64, 2).astype(np.float32)
+        pt = rng.integers(margin, args.image_size - margin, 2).astype(np.float32)
         tm, tscores, _ = tpred.predict(point_coords=pt[None],
                                        point_labels=np.array([1]),
                                        multimask_output=True)
