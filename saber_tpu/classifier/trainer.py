@@ -80,10 +80,19 @@ class ClassifierTrainer:
         self.opt_state = self.tx.init(self.params)
         self.ema_params = jax.tree.map(jnp.copy, self.params) if use_ema else None
 
-        # device mesh (data-parallel)
+        # device mesh (data-parallel); may span processes (multi-host DCN,
+        # the reference's Fabric DDP-over-NCCL analog fabric_trainer.py:32-38)
         self.mesh = None
+        self._multiprocess = jax.process_count() > 1
         if devices is not None and len(devices) > 1:
             self.mesh = Mesh(np.array(devices), ("data",))
+            if self._multiprocess:
+                # params/opt/ema must be GLOBAL arrays before a jit whose
+                # in_shardings span non-addressable devices
+                self.params = self._put_global(self.params, P())
+                self.opt_state = self._put_global(self.opt_state, P())
+                if self.ema_params is not None:
+                    self.ema_params = self._put_global(self.ema_params, P())
         self._build_steps()
 
         self.history: Dict[str, List[float]] = {
@@ -91,6 +100,20 @@ class ClassifierTrainer:
         self.best_f1 = -1.0
 
     # ------------------------------------------------------------------
+
+    def _put_global(self, tree, spec):
+        """Place a pytree on the mesh, multi-process aware: each process
+        contributes its local rows of a ``P("data")`` batch (or an
+        identical full copy for ``P()``), and jax assembles the global
+        array — the trainer then runs ONE jitted step over the global
+        mesh and XLA's gradient all-reduce rides DCN between hosts
+        (reference all-reduce: fabric_trainer.py:78-81)."""
+        sh = NamedSharding(self.mesh, spec)
+        if self._multiprocess:
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sh, np.asarray(x)), tree)
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
     def _dummy_input(self):
         if self.uses_backbone:
@@ -167,9 +190,14 @@ class ClassifierTrainer:
         out = {"label": jnp.asarray(batch["label"]),
                "mask": jnp.asarray(batch["mask"])}
         if self.uses_backbone:
+            # frozen-backbone features run process-locally (no gradient,
+            # no collective needed), then join the global batch
             out["embed"] = self._embed(jnp.asarray(batch["image"]))
         else:
             out["image"] = jnp.asarray(batch["image"])
+        if self.mesh is not None and self._multiprocess:
+            # each process's loader yields ITS shard of the global batch
+            out = self._put_global(out, P("data"))
         return out
 
     def train(self, train_loader, val_loader=None,
@@ -184,6 +212,10 @@ class ClassifierTrainer:
             losses = []
             for batch in train_loader():
                 rng, sub = jax.random.split(rng)
+                if self._multiprocess:
+                    # host value (identical on every process) → jit treats
+                    # it as the replicated input the sharding expects
+                    sub = np.asarray(sub)
                 dev_batch = self._prepare_batch(batch)
                 (self.params, self.opt_state, self.ema_params, loss,
                  _) = self._train_step(self.params, self.opt_state,
@@ -208,14 +240,27 @@ class ClassifierTrainer:
 
     def evaluate(self, loader) -> Dict[str, Any]:
         rng = jax.random.PRNGKey(0)
+        if self._multiprocess:
+            rng = np.asarray(rng)
         losses, all_preds, all_labels = [], [], []
         params = self.ema_params if self.use_ema else self.params
         for batch in loader():
             dev_batch = self._prepare_batch(batch)
             loss, preds = self._eval_step(params, dev_batch, rng)
             losses.append(float(loss))
-            all_preds.append(np.asarray(preds))
-            all_labels.append(np.asarray(batch["label"]))
+            if self._multiprocess and self.mesh is not None:
+                # metrics are GLOBAL (reference gathers predictions
+                # across ranks, fabric_trainer.py:248-256): all-gather the
+                # sharded preds; labels came from the local loader shard,
+                # so gather those across processes too
+                from jax.experimental import multihost_utils
+                all_preds.append(np.asarray(multihost_utils.process_allgather(
+                    preds, tiled=True)).reshape(-1))
+                all_labels.append(np.asarray(multihost_utils.process_allgather(
+                    np.asarray(batch["label"]), tiled=True)).reshape(-1))
+            else:
+                all_preds.append(np.asarray(preds))
+                all_labels.append(np.asarray(batch["label"]))
         preds = np.concatenate(all_preds) if all_preds else np.zeros(0, int)
         labels = np.concatenate(all_labels) if all_labels else np.zeros(0, int)
         metrics = classification_metrics(preds, labels, self.num_classes)
