@@ -326,7 +326,9 @@ class HighlightState:
 
 class SliceNavigator:
     """z-slider state for 3D review (reference annotation_viewer_3d
-    slider + debounce, :214-246)."""
+    slider + debounce, :214-246), plus label-jump navigation (the
+    reference viewer's "where is this object?" workflow — scrubbing the
+    slider until the highlighted mask appears — done in O(1) keypresses)."""
 
     def __init__(self, n_slices: int):
         self.n_slices = int(n_slices)
@@ -343,3 +345,125 @@ class SliceNavigator:
     def labels_in_slice(label_volume: np.ndarray, z: int) -> List[int]:
         ids = np.unique(label_volume[z])
         return [int(i) for i in ids if i > 0]
+
+    @staticmethod
+    def slices_with_label(label_volume: np.ndarray, label: int) -> List[int]:
+        """Sorted z indices where the label appears."""
+        zs = np.nonzero((label_volume == label).any(axis=(1, 2)))[0]
+        return [int(z) for z in zs]
+
+    def jump_to_label(self, label_volume: np.ndarray, label: int,
+                      direction: int = 1) -> Optional[int]:
+        """Move to the nearest slice (strictly ahead in ``direction``,
+        wrapping) that contains ``label``; None if it appears nowhere.
+        If the label exists only on the current slice, stay put."""
+        zs = self.slices_with_label(label_volume, label)
+        if not zs:
+            return None
+        if direction >= 0:
+            nxt = [z for z in zs if z > self.current]
+            target = nxt[0] if nxt else zs[0]
+        else:
+            prv = [z for z in zs if z < self.current]
+            target = prv[-1] if prv else zs[-1]
+        return self.set(target)
+
+
+class ViewState:
+    """Zoom/pan state for the image viewport (reference viewers delegate
+    this to pyqtgraph's ViewBox + a reset_view key,
+    annotation_viewer_3d.py:432-436; headless here so the web UI and the
+    Qt shells share the same clamped-rect math)."""
+
+    def __init__(self, height: int, width: int,
+                 min_zoom: float = 1.0, max_zoom: float = 40.0):
+        self.h, self.w = int(height), int(width)
+        self.min_zoom, self.max_zoom = float(min_zoom), float(max_zoom)
+        self.zoom = 1.0
+        self.cy, self.cx = self.h / 2.0, self.w / 2.0
+
+    def reset(self):
+        self.zoom, self.cy, self.cx = 1.0, self.h / 2.0, self.w / 2.0
+
+    def zoom_by(self, factor: float, at: Optional[Tuple[float, float]] = None):
+        """Zoom keeping the anchor point ``at`` (image coords) fixed in
+        the viewport (scroll-wheel semantics)."""
+        new = max(self.min_zoom, min(self.max_zoom, self.zoom * factor))
+        if at is not None and new != self.zoom:
+            ay, ax = at
+            s = self.zoom / new
+            self.cy = ay + (self.cy - ay) * s
+            self.cx = ax + (self.cx - ax) * s
+        self.zoom = new
+        self._clamp()
+
+    def pan(self, dy: float, dx: float):
+        self.cy += dy
+        self.cx += dx
+        self._clamp()
+
+    def _clamp(self):
+        hh, hw = self.h / (2 * self.zoom), self.w / (2 * self.zoom)
+        self.cy = min(max(self.cy, hh), self.h - hh)
+        self.cx = min(max(self.cx, hw), self.w - hw)
+
+    def rect(self) -> Tuple[int, int, int, int]:
+        """Visible (y0, x0, y1, x1), integer-aligned, always in-bounds."""
+        hh, hw = self.h / (2 * self.zoom), self.w / (2 * self.zoom)
+        y0 = max(0, int(round(self.cy - hh)))
+        x0 = max(0, int(round(self.cx - hw)))
+        y1 = min(self.h, max(y0 + 1, int(round(self.cy + hh))))
+        x1 = min(self.w, max(x0 + 1, int(round(self.cx + hw))))
+        return y0, x0, y1, x1
+
+
+def label_bbox(label_map: np.ndarray, label: int, pad: float = 0.15
+               ) -> Optional[Tuple[int, int, int, int]]:
+    """Padded bounding box (y0, x0, y1, x1) of a label; None if absent.
+    2D maps only — for volumes pass the slice. Padding is a fraction of
+    the box size (the reference's adaptive gallery crops,
+    classifier/preprocess crop margins)."""
+    m = label_map == label
+    if not m.any():
+        return None
+    ys, xs = np.nonzero(m)
+    y0, y1 = int(ys.min()), int(ys.max()) + 1
+    x0, x1 = int(xs.min()), int(xs.max()) + 1
+    py, px = int((y1 - y0) * pad) + 1, int((x1 - x0) * pad) + 1
+    return (max(0, y0 - py), max(0, x0 - px),
+            min(label_map.shape[0], y1 + py),
+            min(label_map.shape[1], x1 + px))
+
+
+def class_gallery(session: "AnnotationSession", run: str,
+                  image: np.ndarray, label_map: np.ndarray,
+                  cls, max_items: int = 64) -> List[Dict[str, Any]]:
+    """Per-class gallery: padded crops of every mask accepted into
+    ``cls`` for one run (reference behavior: the zarr GUI's per-class
+    review gallery / create_png_gallery grouping, run_tomogram_segment.py
+    gallery step — here headless so web + Qt share it).
+
+    3D runs crop at each label's best slice (max mask area). Returns
+    [{label, z, bbox, image, mask}] with image/mask already cropped.
+    """
+    is_3d = label_map.ndim == 3
+    items: List[Dict[str, Any]] = []
+    for label in session.labels_of_class(run, cls)[:max_items]:
+        if is_3d:
+            areas = (label_map == label).sum(axis=(1, 2))
+            z = int(np.argmax(areas))
+            if areas[z] == 0:
+                continue
+            lm, im = label_map[z], image[z]
+        else:
+            z, lm, im = None, label_map, image
+        box = label_bbox(lm, label)
+        if box is None:
+            continue
+        y0, x0, y1, x1 = box
+        items.append({
+            "label": int(label), "z": z, "bbox": box,
+            "image": im[y0:y1, x0:x1],
+            "mask": (lm[y0:y1, x0:x1] == label),
+        })
+    return items

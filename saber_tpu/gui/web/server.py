@@ -57,8 +57,10 @@ canvas{border:1px solid #444;image-rendering:pixelated}
   <label><input id="ovl" type="checkbox" checked onchange="draw()">
   overlay</label>
   <button onclick="undo()">undo</button>
-  <button onclick="save()">save annotations</button></div>
-<div id="masks"></div></div>
+  <button onclick="save()">save annotations</button>
+  <button onclick="gallery()">class gallery</button></div>
+<div id="masks"></div>
+<div id="gallery"></div></div>
 <script>
 // TAB10-style palette, one color per class (the reference pickers color
 // accepted masks per class the same way, multi_class_segmentation_picker)
@@ -154,6 +156,28 @@ function toggle(i){
 function undo(){
   const h=history.pop(); if(!h) return;
   apply(h[0],h[1]);
+}
+async function gallery(){
+  // per-class review gallery: thumbnails of every mask accepted into the
+  // selected class; clicking a 3D thumbnail jumps the z-slider to the
+  // mask's best slice (reference per-class galleries + label-jump nav)
+  if(!cur) return;
+  const g = await (await fetch('/api/gallery/'+cur+'?cls='+curCls)).json();
+  const gd = document.getElementById('gallery');
+  gd.innerHTML = '<h4>class '+curCls+' — '+g.items.length+' masks</h4>';
+  g.items.forEach(it=>{
+    const d=document.createElement('span');
+    d.style.cssText='display:inline-block;margin:3px;text-align:center;'+
+                    'cursor:pointer;border:1px solid '+PAL[(curCls-1)%10];
+    const im=document.createElement('img');
+    im.src='data:image/png;base64,'+it.image;
+    im.style.cssText='height:96px;display:block';
+    const cap=document.createElement('small');
+    cap.textContent='mask '+it.label+(it.z!=null?' z='+it.z:'');
+    d.appendChild(im); d.appendChild(cap);
+    if(it.z!=null) d.onclick=()=>{
+      document.getElementById('zslider').value=it.z; setZ(it.z);};
+    gd.appendChild(d);});
 }
 async function save(){
   await fetch('/api/annotate',{method:'POST',
@@ -320,6 +344,44 @@ class AnnotationApp:
     def classes(self):
         return dict(self.root.attrs.get("labels", {}))
 
+    def gallery(self, name: str, cls) -> Dict:
+        """Per-class gallery: cropped thumbnails of every mask accepted
+        into ``cls`` for a run (reference per-class review galleries,
+        visualization/galleries.py + zarr GUI grouping — served headless
+        via gui.base.annotation_session.class_gallery)."""
+        from saber_tpu.gui.base.annotation_session import (
+            AnnotationSession, SliceNavigator, class_gallery)
+        image, stack = self._load(name)
+        is_3d = image.ndim == 3
+        sess = AnnotationSession()
+        with self.lock:
+            acc = dict(self.annotations.get(name, {}).get("accepted", {}))
+        if not is_3d:
+            # 2D web indices are 0-based stack positions; the composite
+            # label map is 1-based (_slice_label_map)
+            acc = {c: [i + 1 for i in v] for c, v in acc.items()}
+        sess.annotations = {name: {"accepted": acc, "rejected": []}}
+        label_map = (np.asarray(stack) if is_3d
+                     else self._slice_label_map(stack, False, 0))
+        if label_map is None:
+            return {"items": []}
+        items = class_gallery(sess, name, image, label_map, cls)
+        out = []
+        for it in items:
+            entry = {
+                "label": it["label"] - (0 if is_3d else 1),
+                "z": it["z"], "bbox": list(it["bbox"]),
+                "image": _png_b64(it["image"]),
+                # class color, not label color: the gallery is BY class
+                "overlay": _overlay_b64(it["mask"].astype(np.int32)
+                                        * int(cls)),
+            }
+            if is_3d:
+                entry["slices"] = SliceNavigator.slices_with_label(
+                    label_map, it["label"])
+            out.append(entry)
+        return {"items": out, "cls": str(cls), "run": name}
+
     def progress(self):
         """Curation progress summary (parity with the Qt workbench's
         counters — AnnotationSession.progress semantics)."""
@@ -378,6 +440,12 @@ def _make_handler(app: AnnotationApp):
                     self._send(200, app.progress())
                 elif self.path == "/api/classes":
                     self._send(200, app.classes())
+                elif self.path.startswith("/api/gallery/"):
+                    from urllib.parse import parse_qs, urlparse
+                    parsed = urlparse(self.path)
+                    name = parsed.path[len("/api/gallery/"):]
+                    cls = parse_qs(parsed.query).get("cls", ["1"])[0]
+                    self._send(200, app.gallery(name, cls))
                 else:
                     self._send(404, {"error": "not found"})
             except KeyError:
