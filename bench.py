@@ -41,7 +41,16 @@ def _bench_amg(on_tpu: bool):
     image_size = int(os.environ.get("SABER_BENCH_IMAGE", "1024"))
     if not on_tpu:
         cfg_name, image_size = "tiny", 128
-    amg_cfg = (AMGConfig() if on_tpu else
+    # optional threshold overrides: with random (unconverted) weights the
+    # default 0.88 IoU gate passes nothing, which skips the host-side mask
+    # unpack; permissive thresholds exercise the full many-mask finalize
+    amg_kwargs = {}
+    for env, key, cast in (("SABER_BENCH_IOU_THRESH", "pred_iou_thresh", float),
+                           ("SABER_BENCH_STAB_THRESH", "stability_score_thresh", float),
+                           ("SABER_BENCH_MAX_MASKS", "max_masks", int)):
+        if os.environ.get(env):
+            amg_kwargs[key] = cast(os.environ[env])
+    amg_cfg = (AMGConfig(**amg_kwargs) if on_tpu else
                AMGConfig(npoints=8, points_per_batch=16, crop_n_layers=1,
                          max_masks=32))
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

@@ -1,0 +1,144 @@
+"""Encoder roofline: analytic needed/padded matmul FLOPs vs measured time.
+
+Answers VERDICT r3 weak #4 ("is 29.5 the ceiling?") with arithmetic
+instead of belief: enumerate every GEMM in the Hiera trunk + FPN at a
+given config/image size/batch, count
+
+- needed FLOPs (true dims — what the math requires), and
+- padded FLOPs (dims rounded up to the MXU's 128-lane tiles, incl. the
+  72→128 head-dim pad the flash/window kernels use — what the MXU
+  actually multiplies),
+
+divide by the chip's peak, and compare with the measured wall time. The
+gap between ``padded floor`` and ``measured`` is addressable (kernel
+glue, VPU, HBM); the gap between ``needed`` and ``padded`` is inherent
+to the checkpoint's dims (144/288 lanes, 72-lane heads) unless the
+matmuls are re-blocked across heads/windows.
+
+Pure arithmetic — runs anywhere, no devices needed:
+
+    python tools/roofline.py [cfg] [image_size] [batch] [--peak TFLOPS]
+
+Peak default 197 bf16 TF/s (v5e). Measured numbers for the doc table
+come from tools/bench_{mlp,attn}_kernel.py and docs/benchmarks.md.
+"""
+
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from saber_tpu.models.sam2 import PRESETS  # noqa: E402
+
+LANE = 128
+
+
+def _pad(n: int, mult: int = LANE) -> int:
+    return -mult * (-n // mult)
+
+
+def encoder_flops(cfg_name: str, image_size: int, batch: int):
+    """Per-stage (needed, padded) matmul FLOPs for trunk + FPN.
+
+    Counts GEMMs only (the MXU work): qkv/proj/MLP/attention per block,
+    patch embed, FPN laterals. LayerNorm/GELU/softmax are VPU and the
+    pool kernel's selection matmuls are negligible (win² × win²/4 dims).
+
+    Block anatomy (models/hiera.py MultiScaleBlock): qkv projects
+    c_in → 3·c_out over the INPUT tokens; at stage transitions q then
+    2×2-pools (t_q = t_in/4) while k/v keep the stage's window; global
+    blocks attend the full per-image grid. proj + MLP run at c_out over
+    the pooled tokens.
+    """
+    p = PRESETS[cfg_name]
+    dim, heads = p["embed_dim"], p["num_heads"]
+    stages, windows = p["stages"], p["window_spec"]
+    global_blocks = set(p["global_att_blocks"])
+    side = image_size // 4                      # stride-4 patch embed
+    per_stage = []
+    block_idx = 0
+    total_tokens_c = []
+    for si, (depth, win) in enumerate(zip(stages, windows)):
+        need = pad = 0.0
+        for bi in range(depth):
+            q_pool = si > 0 and bi == 0         # stage transition block
+            c_in, t_in = dim, batch * side * side
+            if q_pool:
+                dim, heads, side = dim * 2, heads * 2, side // 2
+            c_out, t_q = dim, batch * side * side
+            d_head = c_out // heads
+            # kv sequence each query attends: the stage window (q-pooled
+            # queries keep the unpooled window's k/v) or the full grid
+            if block_idx in global_blocks:
+                seq_kv = side * side
+            else:
+                seq_kv = win * win
+
+            # qkv (over input tokens), attention logits+AV, proj, MLP
+            need += 2 * t_in * c_in * 3 * c_out
+            pad += 2 * t_in * _pad(c_in) * 3 * _pad(c_out)
+            need += 4 * t_q * seq_kv * c_out
+            pad += 4 * t_q * seq_kv * _pad(d_head) * heads
+            need += 2 * t_q * c_out * c_out
+            pad += 2 * t_q * _pad(c_out) * _pad(c_out)
+            need += 16 * t_q * c_out * c_out
+            pad += 4 * t_q * _pad(c_out) * _pad(4 * c_out)
+            block_idx += 1
+        total_tokens_c.append((batch * side * side, dim))
+        per_stage.append((need, pad))
+    # patch embed: 7·7·3 → embed at stride 4 (space-to-depth form is exact)
+    t0 = batch * (image_size // 4) ** 2
+    emb = PRESETS[cfg_name]["embed_dim"]
+    stem_need = 2 * t0 * 7 * 7 * 3 * emb
+    stem_pad = 2 * t0 * _pad(7 * 7 * 3) * _pad(emb)
+    # FPN laterals: 1×1 conv stage_dim → 256 on each scale
+    fpn_need = fpn_pad = 0.0
+    for t, c in total_tokens_c:
+        fpn_need += 2 * t * c * 256
+        fpn_pad += 2 * t * _pad(c) * 256
+    return per_stage, (stem_need, stem_pad), (fpn_need, fpn_pad)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cfg", nargs="?", default="large")
+    ap.add_argument("image_size", nargs="?", type=int, default=1024)
+    ap.add_argument("batch", nargs="?", type=int, default=8)
+    ap.add_argument("--peak", type=float, default=197.0,
+                    help="chip peak bf16 TFLOP/s (v5e ≈ 197)")
+    ap.add_argument("--measured-ms", type=float, default=None,
+                    help="measured encoder wall ms for the summary line")
+    args = ap.parse_args()
+
+    per_stage, stem, fpn = encoder_flops(args.cfg, args.image_size, args.batch)
+    peak = args.peak * 1e12
+    print(f"{args.cfg} @ {args.image_size}² batch {args.batch}  "
+          f"(peak {args.peak:.0f} TF/s)")
+    print(f"{'':>10} {'needed TF':>10} {'padded TF':>10} {'pad waste':>9} "
+          f"{'floor ms (padded)':>18}")
+    tot_need = tot_pad = 0.0
+    for si, (need, pad) in enumerate(per_stage, 1):
+        tot_need += need
+        tot_pad += pad
+        print(f"  stage {si:>2} {need / 1e12:>10.2f} {pad / 1e12:>10.2f} "
+              f"{pad / need:>8.2f}x {pad / peak * 1e3:>18.2f}")
+    for name, (need, pad) in (("stem", stem), ("fpn", fpn)):
+        tot_need += need
+        tot_pad += pad
+        print(f"  {name:>8} {need / 1e12:>10.2f} {pad / 1e12:>10.2f} "
+              f"{pad / need:>8.2f}x {pad / peak * 1e3:>18.2f}")
+    print(f"  {'TOTAL':>8} {tot_need / 1e12:>10.2f} {tot_pad / 1e12:>10.2f} "
+          f"{tot_pad / tot_need:>8.2f}x {tot_pad / peak * 1e3:>18.2f}")
+    print(f"floor: needed {tot_need / peak * 1e3:.1f} ms, "
+          f"padded {tot_pad / peak * 1e3:.1f} ms")
+    if args.measured_ms:
+        print(f"measured {args.measured_ms:.1f} ms ⇒ "
+              f"{tot_pad / peak * 1e3 / args.measured_ms * 100:.0f}% of "
+              f"padded-floor speed, "
+              f"{tot_need / (args.measured_ms / 1e3) / 1e12:.0f} TF/s useful")
+
+
+if __name__ == "__main__":
+    main()
