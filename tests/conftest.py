@@ -22,6 +22,19 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 assert jax.default_backend() == "cpu"
 
+# Persistent XLA:CPU compile cache: the slow tier is ~90% model compiles,
+# and they repeat identically across runs (params are random but compile
+# keys hash the HLO, not values). First full run populates the cache;
+# repeat slow-tier runs then pay loads, not compiles. Only big programs
+# persist (>2 s) to keep the directory small. The between-module
+# clear_caches fixture below drops in-memory executables only — recompiles
+# after it hit this disk cache. SABER_TEST_NO_CACHE=1 disables.
+if not os.environ.get("SABER_TEST_NO_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/saber_tpu/jax_cache_cpu_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
