@@ -101,6 +101,43 @@ def encoder_flops(cfg_name: str, image_size: int, batch: int):
     return per_stage, (stem_need, stem_pad), (fpn_need, fpn_pad)
 
 
+def tracking_flops(cfg_name: str, image_size: int, n_objects: int) -> dict:
+    """Exact FLOPs of one tracking step (memory attention + decoder +
+    memory encoder) via XLA's pre-optimization cost analysis of the
+    abstractly-lowered ``VideoCore.step`` — no weights, no execution,
+    runs in seconds on any backend. Pre-opt analysis counts ops fusion
+    later removes, so treat it as an upper bound on needed FLOPs; the
+    hand-counted GEMM floor (memory attention dominates) is ~45% of it.
+    """
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    from saber_tpu.models.sam2 import SAM2, get_config
+    from saber_tpu.models.video import VideoCore, init_state
+
+    cfg = get_config(cfg_name, image_size=image_size, fused_encoder=False)
+    model, core = SAM2(cfg), VideoCore(SAM2(cfg))
+    fs, c = cfg.feat_size, cfg.embed_dim
+    rng = jax.random.PRNGKey(0)
+    pshapes = jax.eval_shape(
+        model.init, rng, jnp.zeros((1, image_size, image_size, 3)),
+        jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))["params"]
+    st = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                      init_state(n_objects, cfg))
+    del c  # high-res skips are PROJECTED at encode time: d_model/8 and /4
+    frame = {"vision": jax.ShapeDtypeStruct((fs, fs, 256), jnp.float32),
+             "fpn0": jax.ShapeDtypeStruct((4 * fs, 4 * fs, 32), jnp.float32),
+             "fpn1": jax.ShapeDtypeStruct((2 * fs, 2 * fs, 64), jnp.float32)}
+    lowered = jax.jit(lambda p, s, f, i, g: core.step(p, s, f, i, g)).lower(
+        pshapes, st, frame,
+        jax.ShapeDtypeStruct((), jnp.int32), jax.ShapeDtypeStruct((), jnp.float32))
+    return lowered.cost_analysis()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cfg", nargs="?", default="large")
@@ -110,7 +147,17 @@ def main():
                     help="chip peak bf16 TFLOP/s (v5e ≈ 197)")
     ap.add_argument("--measured-ms", type=float, default=None,
                     help="measured encoder wall ms for the summary line")
+    ap.add_argument("--tracking", type=int, default=None, metavar="N_OBJ",
+                    help="also lower one tracking step with N_OBJ objects "
+                         "and print its FLOPs + floor")
     args = ap.parse_args()
+
+    if args.tracking:
+        ca = tracking_flops(args.cfg, args.image_size, args.tracking)
+        f = ca.get("flops", 0.0)
+        print(f"tracking step ({args.cfg} @ {args.image_size}², "
+              f"{args.tracking} objects): {f / 1e9:.0f} GFLOP (pre-opt "
+              f"upper bound) → floor {f / (args.peak * 1e12) * 1e3:.1f} ms")
 
     per_stage, stem, fpn = encoder_flops(args.cfg, args.image_size, args.batch)
     peak = args.peak * 1e12
