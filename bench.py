@@ -114,6 +114,15 @@ def _bench_e2e(on_tpu: bool):
     q = side // 4
     vol[z0:z1, q:3 * q, q:3 * q] += 2.0           # central organelle blob
     vol[z0:z1, q // 2:q, q // 2:q] += 2.5         # a smaller second object
+    # SABER_BENCH_E2E_DTYPE=int16/int8: measure with an EM-at-rest source
+    # dtype — ships RAW over the wire (ops/preprocessing.RAW_WIRE_DTYPES),
+    # 2-4x fewer upload bytes than the fp32-source fp16 wire
+    src_dtype = os.environ.get("SABER_BENCH_E2E_DTYPE")
+    if src_dtype:
+        info = np.iinfo(np.dtype(src_dtype))
+        lo, hi = vol.min(), vol.max()
+        vol = ((vol - lo) / (hi - lo) * (info.max - info.min)
+               + info.min).astype(src_dtype)
 
     def run_once():
         out = seg.segment(vol, thickness=10)

@@ -97,6 +97,17 @@ class ClassifierTrainer:
 
         self.history: Dict[str, List[float]] = {
             "train_loss": [], "val_loss": [], "val_f1": []}
+        # {"train"/"val": {"class<k>": {"precision"/"recall"/"f1_score":
+        # [per-epoch]}}} — the reference's per-class curve structure
+        # (trainer.py:270-308, plotted by plot_per_class_metrics)
+        self.per_class_history: Dict[str, Dict[str, Dict[str, List[float]]]] = {
+            "train": {f"class{c}": {"precision": [], "recall": [],
+                                    "f1_score": []}
+                      for c in range(num_classes)},
+            "val": {f"class{c}": {"precision": [], "recall": [],
+                                  "f1_score": []}
+                    for c in range(num_classes)},
+        }
         self.best_f1 = -1.0
 
     # ------------------------------------------------------------------
@@ -209,7 +220,7 @@ class ClassifierTrainer:
         os.makedirs(self.results_dir, exist_ok=True)
         rng = jax.random.PRNGKey(1234)
         for epoch in range(self.num_epochs):
-            losses = []
+            losses, ep_preds, ep_labels = [], [], []
             for batch in train_loader():
                 rng, sub = jax.random.split(rng)
                 if self._multiprocess:
@@ -218,16 +229,27 @@ class ClassifierTrainer:
                     sub = np.asarray(sub)
                 dev_batch = self._prepare_batch(batch)
                 (self.params, self.opt_state, self.ema_params, loss,
-                 _) = self._train_step(self.params, self.opt_state,
-                                       self.ema_params, dev_batch, sub)
+                 preds) = self._train_step(self.params, self.opt_state,
+                                           self.ema_params, dev_batch, sub)
                 losses.append(float(loss))
+                p, l = self._gather_preds(preds, batch["label"])
+                ep_preds.append(p)
+                ep_labels.append(l)
             train_loss = float(np.mean(losses)) if losses else 0.0
             self.history["train_loss"].append(train_loss)
+            if ep_preds:
+                tm = classification_metrics(np.concatenate(ep_preds),
+                                            np.concatenate(ep_labels),
+                                            self.num_classes)
+                self._record_per_class("train", tm)
+                self.history.setdefault("train_f1", []).append(
+                    float(tm["macro_f1"]))
 
             if val_loader is not None:
                 metrics = self.evaluate(val_loader)
                 self.history["val_loss"].append(metrics["loss"])
                 self.history["val_f1"].append(metrics["macro_f1"])
+                self._record_per_class("val", metrics)
                 if metrics["macro_f1"] > self.best_f1:
                     self.best_f1 = metrics["macro_f1"]
                     self.save(labels=labels, amg_params=amg_params)
@@ -236,7 +258,46 @@ class ClassifierTrainer:
                           f"val_f1={metrics['macro_f1']:.4f}")
             else:
                 self.save(labels=labels, amg_params=amg_params)
+        self._save_metric_plots()
         return self.history
+
+    def _gather_preds(self, preds, labels):
+        """Per-batch (preds, labels) as host arrays; multiprocess gathers
+        the sharded preds + each rank's labels globally."""
+        if self._multiprocess and self.mesh is not None:
+            from jax.experimental import multihost_utils
+            return (np.asarray(multihost_utils.process_allgather(
+                        preds, tiled=True)).reshape(-1),
+                    np.asarray(multihost_utils.process_allgather(
+                        np.asarray(labels), tiled=True)).reshape(-1))
+        return np.asarray(preds), np.asarray(labels)
+
+    def _record_per_class(self, mode: str, metrics: Dict[str, Any]):
+        for c in range(self.num_classes):
+            h = self.per_class_history[mode][f"class{c}"]
+            h["precision"].append(float(metrics["precision"][c]))
+            h["recall"].append(float(metrics["recall"][c]))
+            h["f1_score"].append(float(metrics["f1"][c]))
+
+    def _save_metric_plots(self):
+        """End-of-run plot artifacts (reference trainer.py saves the
+        metric + per-class curve figures alongside the checkpoint)."""
+        if not self.history["train_loss"]:
+            return
+        try:
+            from saber_tpu.visualization.classifier import (
+                plot_all_metrics, plot_per_class_metrics)
+            curves = {"train": {"loss": self.history["train_loss"],
+                                "macro_f1": self.history.get("train_f1", [])},
+                      "val": {"loss": self.history["val_loss"],
+                              "macro_f1": self.history["val_f1"]}}
+            plot_all_metrics(curves, os.path.join(self.results_dir,
+                                                  "metrics.png"))
+            plot_per_class_metrics(
+                self.per_class_history,
+                os.path.join(self.results_dir, "per_class_metrics.png"))
+        except Exception:   # plotting is best-effort (headless CI etc.)
+            pass
 
     def evaluate(self, loader) -> Dict[str, Any]:
         rng = jax.random.PRNGKey(0)

@@ -100,6 +100,15 @@ def test_convnext_training_learns(tmp_path, rng):
     assert all(np.isfinite(l) and l < 2.0 for l in hist["train_loss"])
     assert (tmp_path / "res" / "best_model.msgpack").exists()
     assert (tmp_path / "res" / "model_config.yaml").exists()
+    # per-class curve history + end-of-run plot artifacts (reference
+    # trainer.py per-class tracking, visualization/classifier.py plots)
+    pch = trainer.per_class_history
+    assert len(pch["train"]["class1"]["f1_score"]) == 4
+    assert len(pch["val"]["class1"]["precision"]) == 4
+    assert all(0.0 <= v <= 1.0 for v in pch["val"]["class1"]["recall"])
+    assert len(hist["train_f1"]) == 4
+    assert (tmp_path / "res" / "metrics.png").exists()
+    assert (tmp_path / "res" / "per_class_metrics.png").exists()
 
 
 def test_mesh_trainer_runs_on_virtual_devices(tmp_path, rng):
