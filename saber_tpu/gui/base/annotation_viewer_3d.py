@@ -27,7 +27,9 @@ class AnnotationSegmentationViewer3D(QtWidgets.QWidget):  # pragma: no cover
     """Dual-view 3D reviewer: scroll z (slider / arrow keys), click to
     highlight a label (boundary outline on the current slice), 'a'/Enter
     assigns the selected class, 1-9 assign class N, 'r' rejects, 'x'
-    clears, Ctrl+Z undoes, Home recenters the z slider."""
+    clears, Ctrl+Z undoes, Home recenters the z slider, 'n'/'p' jumps to
+    the next/previous slice containing the highlighted label, 'g' opens
+    the per-class gallery for the selected class."""
 
     def __init__(self, volume, masks, class_dict, selected_class,
                  session: AnnotationSession, run_id: str):
@@ -156,4 +158,46 @@ class AnnotationSegmentationViewer3D(QtWidgets.QWidget):  # pragma: no cover
             self._assign_highlight(self.selected_class)
         elif QtCore.Qt.Key_1 <= key <= QtCore.Qt.Key_9:
             self._assign_highlight(key - QtCore.Qt.Key_0)
+        elif key in (QtCore.Qt.Key_N, QtCore.Qt.Key_P) and self.highlight.current:
+            # label-jump navigation (SliceNavigator.jump_to_label)
+            z = self.nav.jump_to_label(
+                self.labels, self.highlight.current,
+                +1 if key == QtCore.Qt.Key_N else -1)
+            if z is not None:
+                self.slider.setValue(z)
+        elif key == QtCore.Qt.Key_G:
+            self._show_gallery()
         self._refresh()
+
+    def _show_gallery(self):
+        """Per-class crop gallery for the selected class (headless logic:
+        annotation_session.class_gallery; reference per-class review
+        galleries)."""
+        from saber_tpu.gui.base.annotation_session import class_gallery
+        items = class_gallery(self.session, self.run_id, self.volume,
+                              self.labels, self.selected_class)
+        dlg = QtWidgets.QDialog(self)
+        dlg.setWindowTitle(f"class {self.selected_class} — "
+                           f"{len(items)} masks")
+        grid = QtWidgets.QGridLayout(dlg)
+        for i, it in enumerate(items):
+            glw = pg.GraphicsLayoutWidget()
+            glw.setFixedSize(140, 140)
+            vb = glw.addViewBox(lockAspect=True)
+            img = pg.ImageItem(axisOrder="row-major")
+            img.setImage(np.asarray(it["image"]), autoLevels=True)
+            vb.addItem(img)
+            cap = QtWidgets.QLabel(
+                f"mask {it['label']}"
+                + (f" z={it['z']}" if it["z"] is not None else ""))
+            cell = QtWidgets.QVBoxLayout()
+            cell.addWidget(glw)
+            cell.addWidget(cap)
+            w = QtWidgets.QWidget()
+            w.setLayout(cell)
+            if it["z"] is not None:   # click → jump the z-slider there
+                w.mousePressEvent = (
+                    lambda _e, z=it["z"]: self.slider.setValue(
+                        self.nav.set(z)))
+            grid.addWidget(w, i // 6, i % 6)
+        dlg.exec_()
