@@ -184,9 +184,22 @@ class RoPEAttention(nn.Module):
                         else None)
             # block_k trades per-block overhead against key-pad waste:
             # 2048 pads the default memory bank (S≈8.3k) 24% up to 10240;
-            # 1024 pads 11% and measured +0.7% on the direction probe
-            bk = int(os.environ.get("SABER_MEMCROSS_BLOCK_K", "1024"))
-            out = flash_attention(qp, kp, vp, bias=bias_vec, block_k=bk,
+            # 1024 pads 11% and measured +0.7% on the direction probe.
+            # Self-attention (S = T = 4096) instead wants ONE k-block
+            # covering all of S — no online-softmax rescale passes:
+            # 512/4096 measured 1.376 ms vs 1.584 at 256/2048 standalone
+            # (tools/bench_memself_kernel.py, +13%); in-program trace
+            # 0.48 → 0.43 ms/call (−11%, ~0.2 ms/slice — pipeline-neutral
+            # within relay noise but principled). SABER_MEMSELF_BLOCKS
+            # ("bq,bk") and SABER_MEMCROSS_BLOCK_K override.
+            if tk <= 4096 and tk % 512 == 0:
+                bq, bk = (map(int, os.environ.get(
+                    "SABER_MEMSELF_BLOCKS", "512,%d" % tk).split(",")))
+            else:
+                bq = 256
+                bk = int(os.environ.get("SABER_MEMCROSS_BLOCK_K", "1024"))
+            out = flash_attention(qp, kp, vp, bias=bias_vec,
+                                  block_q=int(bq), block_k=int(bk),
                                   rope_q=freqs, rope_k=(ck, sk))
             out = out.reshape(b, tq, internal)
             return nn.Dense(self.embedding_dim, dtype=self.dtype,

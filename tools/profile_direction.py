@@ -45,6 +45,12 @@ def summarize_xplane(logdir: str, topk: int):
         if n.startswith(("copy-start", "slice-start", "copy-done",
                          "slice-done", "all-reduce-start")):
             return "async-copy (overlaps compute)"
+        if n.startswith(("while", "conditional")):
+            # control-flow wrapper events SUBSUME their body ops' time
+            # (measured: whiles = 1419 ms of a 1046 ms dispatch) — keep
+            # them out of the compute denominator or every share is ~2×
+            # understated
+            return "control-flow wrapper (subsumes body; overlaps)"
         for key in ("fused_window_attention", "fused_mlp", "flash_attention",
                     "fused_rope_attention"):
             if key in name:
@@ -84,7 +90,8 @@ def summarize_xplane(logdir: str, topk: int):
                 cat[categorize(name)] += ms
         if not tot:
             continue
-        compute = sum(ms for c, ms in cat.items() if "overlap" not in c)
+        compute = sum(ms for c, ms in cat.items() if "overlap" not in c
+                      and "subsumes" not in c)
         print(f"\n== plane: {plane.name}  lines={len(lines)} "
               f"(compute-category sum {compute:.1f} ms)")
         for c, ms in sorted(cat.items(), key=lambda kv: -kv[1]):
