@@ -182,22 +182,25 @@ class RoPEAttention(nn.Module):
                  jnp.zeros((tk - r * cos.shape[0], half), jnp.float32)])
             bias_vec = (attn_bias.reshape(b, tk) if attn_bias is not None
                         else None)
-            # block_k trades per-block overhead against key-pad waste:
-            # 2048 pads the default memory bank (S≈8.3k) 24% up to 10240;
-            # 1024 pads 11% and measured +0.7% on the direction probe.
-            # Self-attention (S = T = 4096) instead wants ONE k-block
-            # covering all of S — no online-softmax rescale passes:
-            # 512/4096 measured 1.376 ms vs 1.584 at 256/2048 standalone
-            # (tools/bench_memself_kernel.py, +13%); in-program trace
-            # 0.48 → 0.43 ms/call (−11%, ~0.2 ms/slice — pipeline-neutral
-            # within relay noise but principled). SABER_MEMSELF_BLOCKS
-            # ("bq,bk") and SABER_MEMCROSS_BLOCK_K override.
+            # Fewer, larger k-blocks win (each extra block is an
+            # online-softmax rescale pass): self-attention (S = T = 4096)
+            # takes ONE k-block — 512/4096 measured 1.376 ms vs 1.584 at
+            # 256/2048 standalone (tools/bench_memself_kernel.py, +13%;
+            # in-program 0.48 → 0.43 ms/call). The cross shape (S=8256)
+            # sweeps best at 2 blocks of 4224 (8448 pad, 2.3%): 1.92 ms
+            # vs 2.20 at the old 1024 blocks / 9216 pad
+            # (tools/bench_memcross_kernel.py, −13%). preferred_kv_blocking
+            # encodes the rule; SABER_MEMSELF_BLOCKS ("bq,bk") and
+            # SABER_MEMCROSS_BLOCK_K override.
+            from saber_tpu.ops.flash_attention import preferred_kv_blocking
             if tk <= 4096 and tk % 512 == 0:
                 bq, bk = (map(int, os.environ.get(
                     "SABER_MEMSELF_BLOCKS", "512,%d" % tk).split(",")))
             else:
                 bq = 256
-                bk = int(os.environ.get("SABER_MEMCROSS_BLOCK_K", "1024"))
+                bk = int(os.environ.get(
+                    "SABER_MEMCROSS_BLOCK_K",
+                    str(preferred_kv_blocking(tk)[1])))
             out = flash_attention(qp, kp, vp, bias=bias_vec,
                                   block_q=int(bq), block_k=int(bk),
                                   rope_q=freqs, rope_k=(ck, sk))

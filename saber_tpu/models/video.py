@@ -200,7 +200,26 @@ class VideoCore:
         memory = jnp.concatenate(feats + [ptr_tokens], axis=1)
         memory_pos = jnp.concatenate(pos + [ptr_pos_tokens], axis=1)
         attn_bias = jnp.concatenate(bias + [ptr_bias], axis=3)
-        return memory, memory_pos, attn_bias, p1 * split
+        n_exclude = p1 * split
+
+        # Pad the bank ONCE here to the flash kernel's preferred k-block
+        # multiple (8256 → 8448 at the 1024-px defaults) so the four
+        # per-layer cross-attention calls see an aligned S and skip their
+        # (B, S, 256)-sized pad copies of the projected k/v. The pad rides
+        # the rope-exclude count and the additive bias, i.e. it behaves
+        # exactly like extra invalid pointer tokens.
+        if jax.default_backend() == "tpu" and t >= 1024:
+            from saber_tpu.ops.flash_attention import preferred_kv_blocking
+            s0 = memory.shape[1]
+            pad = preferred_kv_blocking(s0)[0] - s0
+            if pad > 0:
+                memory = jnp.pad(memory, ((0, 0), (0, pad), (0, 0)))
+                memory_pos = jnp.pad(memory_pos, ((0, 0), (0, pad), (0, 0)))
+                attn_bias = jnp.concatenate(
+                    [attn_bias, jnp.full((b, 1, 1, pad), -1e9, jnp.float32)],
+                    axis=3)
+                n_exclude += pad
+        return memory, memory_pos, attn_bias, n_exclude
 
     @staticmethod
     def slab_frames(backbone_slab):

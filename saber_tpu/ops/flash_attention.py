@@ -168,6 +168,21 @@ def _flash_kernel_streamed_rope(q_ref, k_ref, v_ref, bias_ref, cq_ref,
                     / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
+def preferred_kv_blocking(s0: int, max_block: int = 4608):
+    """Pick ``(s_pad, block_k)`` for a key sequence of ``s0`` tokens:
+    block_k divides s_pad, is a multiple of 128, stays <= ``max_block``,
+    and the number of k-blocks is minimal. Measured on v5e
+    (tools/bench_mem{self,cross}_kernel.py): fewer, larger k-blocks win —
+    each extra block is an online-softmax rescale pass over the fp32
+    accumulator — until the block exceeds ~4.6k rows; padding waste is
+    second-order (8256→8448/4224 measured 1.92 ms vs 8256→9216/1024 at
+    2.20 ms for the memory-cross shape)."""
+    nb = -(-s0 // max_block)
+    gran = 128 * nb
+    s_pad = -(-s0 // gran) * gran
+    return s_pad, s_pad // nb
+
+
 def _pad_table(tab, n_pad, is_cos):
     """Pad a (n, D/2) rope table to n_pad rows (identity rotation)."""
     pad = n_pad - tab.shape[0]

@@ -159,3 +159,42 @@ def test_empty_memory_slots_are_masked(core, rng):
         ptr=jnp.ones_like(st.ptr) * -55.0)
     _, (low_b, _) = vc.step(params, garbage, frame1, jnp.asarray(1), jnp.asarray(1.0))
     np.testing.assert_allclose(np.asarray(low_a), np.asarray(low_b), atol=1e-5)
+
+
+def test_preferred_kv_blocking_rule():
+    from saber_tpu.ops.flash_attention import preferred_kv_blocking
+    assert preferred_kv_blocking(4096) == (4096, 4096)   # one block (self)
+    assert preferred_kv_blocking(8256) == (8448, 4224)   # default cross bank
+    s_pad, bk = preferred_kv_blocking(2112)
+    assert s_pad == 2176 and bk == 2176                  # single block fits
+    s_pad, bk = preferred_kv_blocking(9300)
+    assert s_pad % bk == 0 and bk % 128 == 0 and bk <= 4608 and s_pad >= 9300
+
+
+def test_memory_pad_is_semantically_invisible(rng):
+    """The TPU path pads the assembled memory bank with bias -1e9 tokens
+    that also ride num_k_exclude_rope (models/video.py _assemble_memory).
+    Verify on the math path that padded and unpadded cross-attention
+    agree, which is the contract the padding relies on."""
+    from saber_tpu.models.memory import RoPEAttention
+
+    b, tq, d = 2, 64, 64
+    n_ptr, pad = 4, 28
+    tk = 2 * tq + n_ptr                                  # 2 frames + ptrs
+    attn = RoPEAttention(embedding_dim=d, num_heads=1, kv_in_dim=16,
+                         rope_k_repeat=True)
+    q = jnp.asarray(rng.standard_normal((b, tq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, tk, 16)).astype(np.float32))
+    bias = jnp.zeros((b, 1, 1, tk), jnp.float32)
+    params = attn.init(jax.random.PRNGKey(0), q, k, k,
+                       num_k_exclude_rope=n_ptr, attn_bias=bias)
+    out = attn.apply(params, q, k, k, num_k_exclude_rope=n_ptr,
+                     attn_bias=bias)
+
+    k_pad = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+    bias_pad = jnp.concatenate(
+        [bias, jnp.full((b, 1, 1, pad), -1e9, jnp.float32)], axis=3)
+    out_pad = attn.apply(params, q, k_pad, k_pad,
+                         num_k_exclude_rope=n_ptr + pad, attn_bias=bias_pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_pad),
+                               atol=1e-5)
