@@ -184,7 +184,11 @@ def main():
     # tomograms do (16-frame runs underrate the pipeline ~20%)
     n_frames = int(os.environ.get("SABER_BENCH_FRAMES", "64"))
     image_size = int(os.environ.get("SABER_BENCH_IMAGE", "1024"))
-    chunk = int(os.environ.get("SABER_BENCH_CHUNK", "8"))
+    # chunk=16 matches the adapter's production encode-chunk and measured
+    # 30.41 vs 29.27 slices/s at chunk=8 on chip (2026-08-19 A/B): the
+    # bigger encoder batch amortizes per-dispatch overhead and keeps the
+    # MXU busier through the scan.
+    chunk = int(os.environ.get("SABER_BENCH_CHUNK", "16"))
     n_objects = int(os.environ.get("SABER_BENCH_OBJECTS", "4"))
 
     on_tpu = jax.default_backend() not in ("cpu",)

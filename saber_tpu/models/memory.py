@@ -255,7 +255,32 @@ class MemoryAttentionLayer(nn.Module):
             attn_bias=attn_bias)
         tgt = tgt + tgt2
 
-        # FFN
+        # FFN — on TPU the LN→fc1→relu→fc2→residual chain runs as the
+        # fused Pallas MLP kernel (ops/fused_block.fused_mlp with
+        # activation="relu", eps=1e-5): keeps the (B·T, 2048) hidden in
+        # VMEM and absorbs the norm3 LayerNorm, whose standalone XLA
+        # fusion ran at ~10% of HBM bandwidth in the round-4 direction
+        # trace. Param tree is identical to the flax branch
+        # (_LNParams/_DenseParams declare the same names), so checkpoints
+        # load either way. SABER_FUSED_MEMFFN=0 reverts.
+        import os
+
+        import jax
+        env = os.environ.get("SABER_FUSED_MEMFFN")
+        use_fused = (jax.default_backend() == "tpu" if env is None
+                     else env == "1")  # =1 forces interpret mode on CPU
+        use_fused = use_fused and tgt.shape[0] * tgt.shape[1] % 128 == 0
+        if use_fused:
+            from saber_tpu.models.hiera import _DenseParams, _LNParams
+            from saber_tpu.ops.fused_block import fused_mlp
+            ln_s, ln_b = _LNParams(self.d_model, name="norm3")()
+            k1, b1 = _DenseParams(self.d_model, self.dim_feedforward,
+                                  name="linear1")()
+            k2, b2 = _DenseParams(self.dim_feedforward, self.d_model,
+                                  name="linear2")()
+            return fused_mlp(tgt, ln_s, ln_b, k1.astype(self.dtype), b1,
+                             k2.astype(self.dtype), b2,
+                             activation="relu", eps=1e-5)
         tgt2 = LayerNormFast(epsilon=1e-5, name="norm3")(tgt)
         tgt2 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt2)
         tgt2 = nn.relu(tgt2)

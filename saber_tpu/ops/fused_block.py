@@ -88,7 +88,7 @@ def _gelu_exact(x):
 _LN_MODE = os.environ.get("SABER_LN", "exact")
 
 
-def _ln(x, scale, bias):
+def _ln(x, scale, bias, eps=_EPS):
     """LayerNormFast semantics: fp32 stats, input-dtype elementwise."""
     xf = x.astype(jnp.float32)
     if _LN_MODE == "off":
@@ -103,7 +103,7 @@ def _ln(x, scale, bias):
     else:
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + _EPS)
+    rstd = jax.lax.rsqrt(var + eps)
     y = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
     return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
@@ -691,20 +691,22 @@ def fused_pool_attention(x, ln_scale, ln_bias, wshort, bshort, wqkv, bqkv,
 
 
 def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                out_ref, normed_ref, acc_ref):
+                out_ref, normed_ref, acc_ref, *, activation="gelu",
+                eps=_EPS):
     hchunk = pl.program_id(1)
     nh = pl.num_programs(1)
 
     @pl.when(hchunk == 0)
     def _():
-        normed_ref[:] = _ln(x_ref[:], s_ref[0], b_ref[0])
+        normed_ref[:] = _ln(x_ref[:], s_ref[0], b_ref[0], eps=eps)
         acc_ref[:] = (x_ref[:].astype(jnp.float32)
                       + b2_ref[0].astype(jnp.float32))
 
     hidden = jnp.dot(normed_ref[:], w1_ref[:],
                      preferred_element_type=jnp.float32)
-    hidden = _gelu_exact(hidden + b1_ref[0].astype(jnp.float32)
-                         ).astype(x_ref.dtype)
+    hidden = hidden + b1_ref[0].astype(jnp.float32)
+    hidden = (jnp.maximum(hidden, 0.0) if activation == "relu"
+              else _gelu_exact(hidden)).astype(x_ref.dtype)
     acc_ref[:] += jnp.dot(hidden, w2_ref[:],
                           preferred_element_type=jnp.float32)
 
@@ -784,11 +786,14 @@ def _pick_mlp_blocks(m: int, c: int, hid: int, xbytes: int,
     return fallback if fallback is not None else (m, hid)
 
 
-@jax.jit
-def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2):
-    """x: (..., C). Returns x + fc2(gelu(fc1(LN(x)))) — the second half of
-    a MultiScaleBlock (models/hiera.py:148-155). Hidden dim streams in
-    chunks so hiera-L stage-4 weights (8C² bytes) never exceed VMEM."""
+@functools.partial(jax.jit, static_argnames=("activation", "eps"))
+def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, activation="gelu",
+              eps=_EPS):
+    """x: (..., C). Returns x + fc2(act(fc1(LN(x)))) — the second half of
+    a MultiScaleBlock (models/hiera.py:148-155) with act=gelu, or the
+    MemoryAttentionLayer FFN (models/memory.py) with act=relu/eps=1e-5.
+    Hidden dim streams in chunks so hiera-L stage-4 weights (8C² bytes)
+    never exceed VMEM."""
     orig_shape = x.shape
     c = x.shape[-1]
     hid = w1.shape[1]
@@ -798,7 +803,7 @@ def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2):
     grid = (m // tm, hid // hc)
 
     out = pl.pallas_call(
-        _mlp_kernel,
+        functools.partial(_mlp_kernel, activation=activation, eps=eps),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

@@ -4,6 +4,7 @@ CPU runs the kernels in interpreter mode; the math must match the unfused
 path bit-for-bit up to fp32 accumulation order.
 """
 
+import chex
 import numpy as np
 import pytest
 
@@ -186,3 +187,48 @@ def test_fused_block_nondivisible_window(rng):
         assert out.shape == ref.shape
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-5)
+
+
+def test_fused_mlp_relu_eps_matches_reference(rng):
+    """The memory-attention FFN variant: relu activation, eps=1e-5."""
+    c, hid = 64, 256
+    x = jnp.asarray(rng.standard_normal((1, 16, 8, c)).astype(np.float32))
+    s = jnp.asarray((1 + 0.1 * rng.standard_normal(c)).astype(np.float32))
+    b = jnp.asarray((0.1 * rng.standard_normal(c)).astype(np.float32))
+    w1 = jnp.asarray(0.05 * rng.standard_normal((c, hid)).astype(np.float32))
+    b1 = jnp.asarray(0.05 * rng.standard_normal(hid).astype(np.float32))
+    w2 = jnp.asarray(0.05 * rng.standard_normal((hid, c)).astype(np.float32))
+    b2 = jnp.asarray(0.05 * rng.standard_normal(c).astype(np.float32))
+
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * s + b
+    ref = x + jnp.maximum(normed @ w1 + b1, 0.0) @ w2 + b2
+
+    out = fused_mlp(x, s, b, w1, b1, w2, b2, activation="relu", eps=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=0)
+
+
+def test_memory_layer_fused_ffn_matches_flax(rng, monkeypatch):
+    """MemoryAttentionLayer with SABER_FUSED_MEMFFN forced on (interpret
+    mode on CPU) must match the flax FFN branch on the same params —
+    the two branches declare identical param trees."""
+    from saber_tpu.models.memory import MemoryAttentionLayer
+
+    layer = MemoryAttentionLayer(d_model=64, dim_feedforward=128)
+    tgt = jnp.asarray(rng.standard_normal((2, 64, 64)).astype(np.float32))
+    # memory length must tile the 64-token query grid (rope_k_repeat)
+    mem = jnp.asarray(rng.standard_normal((2, 128, 16)).astype(np.float32))
+
+    monkeypatch.setenv("SABER_FUSED_MEMFFN", "0")
+    params = layer.init(jax.random.PRNGKey(0), tgt, mem)
+    ref = layer.apply(params, tgt, mem)
+
+    monkeypatch.setenv("SABER_FUSED_MEMFFN", "1")
+    params_fused = layer.init(jax.random.PRNGKey(0), tgt, mem)
+    chex.assert_trees_all_equal_shapes(params, params_fused)
+    out = layer.apply(params, tgt, mem)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=0)
