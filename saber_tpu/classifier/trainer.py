@@ -232,15 +232,16 @@ class ClassifierTrainer:
                  preds) = self._train_step(self.params, self.opt_state,
                                            self.ema_params, dev_batch, sub)
                 losses.append(float(loss))
-                p, l = self._gather_preds(preds, batch["label"])
-                ep_preds.append(p)
-                ep_labels.append(l)
+                ep_preds.append(self._local_preds(preds))
+                ep_labels.append(np.asarray(batch["label"]).reshape(-1))
             train_loss = float(np.mean(losses)) if losses else 0.0
             self.history["train_loss"].append(train_loss)
             if ep_preds:
-                tm = classification_metrics(np.concatenate(ep_preds),
-                                            np.concatenate(ep_labels),
-                                            self.num_classes)
+                # ONE cross-process gather per epoch (metrics are the only
+                # consumer) — not one blocking DCN collective per batch
+                gp, gl = self._allgather_pairs(np.concatenate(ep_preds),
+                                               np.concatenate(ep_labels))
+                tm = classification_metrics(gp, gl, self.num_classes)
                 self._record_per_class("train", tm)
                 self.history.setdefault("train_f1", []).append(
                     float(tm["macro_f1"]))
@@ -261,16 +262,30 @@ class ClassifierTrainer:
         self._save_metric_plots()
         return self.history
 
-    def _gather_preds(self, preds, labels):
-        """Per-batch (preds, labels) as host arrays; multiprocess gathers
-        the sharded preds + each rank's labels globally."""
+    def _local_preds(self, preds):
+        """Host copy of THIS process's rows of a (possibly cross-process
+        sharded) prediction vector, in local-loader order. Shards are
+        sorted by global offset, which is the order `_put_global` assigned
+        the local loader rows to the local devices."""
+        if self._multiprocess and self.mesh is not None:
+            shards = sorted(preds.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate(
+                [np.asarray(s.data).reshape(-1) for s in shards])
+        return np.asarray(preds).reshape(-1)
+
+    def _allgather_pairs(self, preds, labels):
+        """Epoch-end global concatenation of per-process (preds, labels)
+        host arrays — metrics are GLOBAL (reference gathers predictions
+        across ranks, fabric_trainer.py:248-256). Both arrays gather in
+        process order, so pairing is preserved."""
         if self._multiprocess and self.mesh is not None:
             from jax.experimental import multihost_utils
             return (np.asarray(multihost_utils.process_allgather(
                         preds, tiled=True)).reshape(-1),
                     np.asarray(multihost_utils.process_allgather(
-                        np.asarray(labels), tiled=True)).reshape(-1))
-        return np.asarray(preds), np.asarray(labels)
+                        labels, tiled=True)).reshape(-1))
+        return preds, labels
 
     def _record_per_class(self, mode: str, metrics: Dict[str, Any]):
         for c in range(self.num_classes):
@@ -284,6 +299,8 @@ class ClassifierTrainer:
         metric + per-class curve figures alongside the checkpoint)."""
         if not self.history["train_loss"]:
             return
+        if self._multiprocess and jax.process_index() != 0:
+            return  # rank-0 writes, same as save()
         try:
             from saber_tpu.visualization.classifier import (
                 plot_all_metrics, plot_per_class_metrics)
@@ -309,21 +326,12 @@ class ClassifierTrainer:
             dev_batch = self._prepare_batch(batch)
             loss, preds = self._eval_step(params, dev_batch, rng)
             losses.append(float(loss))
-            if self._multiprocess and self.mesh is not None:
-                # metrics are GLOBAL (reference gathers predictions
-                # across ranks, fabric_trainer.py:248-256): all-gather the
-                # sharded preds; labels came from the local loader shard,
-                # so gather those across processes too
-                from jax.experimental import multihost_utils
-                all_preds.append(np.asarray(multihost_utils.process_allgather(
-                    preds, tiled=True)).reshape(-1))
-                all_labels.append(np.asarray(multihost_utils.process_allgather(
-                    np.asarray(batch["label"]), tiled=True)).reshape(-1))
-            else:
-                all_preds.append(np.asarray(preds))
-                all_labels.append(np.asarray(batch["label"]))
+            all_preds.append(self._local_preds(preds))
+            all_labels.append(np.asarray(batch["label"]).reshape(-1))
         preds = np.concatenate(all_preds) if all_preds else np.zeros(0, int)
         labels = np.concatenate(all_labels) if all_labels else np.zeros(0, int)
+        # one cross-process gather for the whole pass (see _allgather_pairs)
+        preds, labels = self._allgather_pairs(preds, labels)
         metrics = classification_metrics(preds, labels, self.num_classes)
         metrics["loss"] = float(np.mean(losses)) if losses else 0.0
         return metrics
@@ -331,7 +339,14 @@ class ClassifierTrainer:
     # ------------------------------------------------------------------
 
     def save(self, labels=None, amg_params=None):
-        """best_model weights + model_config.yaml (trainer.py:319-362)."""
+        """best_model weights + model_config.yaml (trainer.py:319-362).
+
+        Multi-process: only process 0 writes — every process computes the
+        same global metrics so all agree on WHEN to save, but concurrent
+        writers on a shared results_dir would race on the same files (the
+        reference's Fabric DDP checkpoints from rank 0 only)."""
+        if self._multiprocess and jax.process_index() != 0:
+            return
         params = self.ema_params if self.use_ema else self.params
         with open(os.path.join(self.results_dir, "best_model.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(jax.device_get(params)))

@@ -347,9 +347,16 @@ class SliceNavigator:
         return [int(i) for i in ids if i > 0]
 
     @staticmethod
-    def slices_with_label(label_volume: np.ndarray, label: int) -> List[int]:
-        """Sorted z indices where the label appears."""
-        zs = np.nonzero((label_volume == label).any(axis=(1, 2)))[0]
+    def slices_with_label(label_volume: np.ndarray, label: int,
+                          areas: Optional[np.ndarray] = None) -> List[int]:
+        """Sorted z indices where the label appears. Pass a precomputed
+        ``per_slice_label_areas`` table when querying many labels — each
+        bare call is a full-volume scan."""
+        if areas is not None:
+            zs = np.nonzero(areas[:, label])[0] if label < areas.shape[1] \
+                else np.zeros(0, int)
+        else:
+            zs = np.nonzero((label_volume == label).any(axis=(1, 2)))[0]
         return [int(z) for z in zs]
 
     def jump_to_label(self, label_volume: np.ndarray, label: int,
@@ -417,6 +424,23 @@ class ViewState:
         return y0, x0, y1, x1
 
 
+def per_slice_label_areas(label_volume: np.ndarray,
+                          num_labels: Optional[int] = None) -> np.ndarray:
+    """(Z, num_labels+1) voxel counts of every label in every z-slice in
+    ONE pass over the volume (np.bincount per slice) — the building block
+    for galleries and slice navigation, which would otherwise re-scan the
+    full volume once per label (64 accepted masks on a 512³ volume = 128
+    full passes; this is 1)."""
+    if num_labels is None:
+        num_labels = int(label_volume.max()) if label_volume.size else 0
+    out = np.zeros((label_volume.shape[0], num_labels + 1), np.int64)
+    for z in range(label_volume.shape[0]):
+        c = np.bincount(label_volume[z].reshape(-1).astype(np.int64),
+                        minlength=num_labels + 1)
+        out[z, :] = c[:num_labels + 1]
+    return out
+
+
 def label_bbox(label_map: np.ndarray, label: int, pad: float = 0.15
                ) -> Optional[Tuple[int, int, int, int]]:
     """Padded bounding box (y0, x0, y1, x1) of a label; None if absent.
@@ -447,12 +471,15 @@ def class_gallery(session: "AnnotationSession", run: str,
     [{label, z, bbox, image, mask}] with image/mask already cropped.
     """
     is_3d = label_map.ndim == 3
+    # one histogram pass for ALL labels, not a volume scan per label
+    areas = per_slice_label_areas(label_map) if is_3d else None
     items: List[Dict[str, Any]] = []
     for label in session.labels_of_class(run, cls)[:max_items]:
         if is_3d:
-            areas = (label_map == label).sum(axis=(1, 2))
-            z = int(np.argmax(areas))
-            if areas[z] == 0:
+            col = (areas[:, label] if label < areas.shape[1]
+                   else np.zeros(label_map.shape[0], np.int64))
+            z = int(np.argmax(col))
+            if col[z] == 0:
                 continue
             lm, im = label_map[z], image[z]
         else:

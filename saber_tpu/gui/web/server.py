@@ -350,7 +350,8 @@ class AnnotationApp:
         visualization/galleries.py + zarr GUI grouping — served headless
         via gui.base.annotation_session.class_gallery)."""
         from saber_tpu.gui.base.annotation_session import (
-            AnnotationSession, SliceNavigator, class_gallery)
+            AnnotationSession, SliceNavigator, class_gallery,
+            per_slice_label_areas)
         image, stack = self._load(name)
         is_3d = image.ndim == 3
         sess = AnnotationSession()
@@ -366,6 +367,9 @@ class AnnotationApp:
         if label_map is None:
             return {"items": []}
         items = class_gallery(sess, name, image, label_map, cls)
+        # one histogram pass shared by every item's slice list (each bare
+        # slices_with_label call would re-scan the full volume)
+        areas = per_slice_label_areas(label_map) if is_3d else None
         out = []
         for it in items:
             entry = {
@@ -378,7 +382,7 @@ class AnnotationApp:
             }
             if is_3d:
                 entry["slices"] = SliceNavigator.slices_with_label(
-                    label_map, it["label"])
+                    label_map, it["label"], areas=areas)
             out.append(entry)
         return {"items": out, "cls": str(cls), "run": name}
 

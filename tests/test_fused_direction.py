@@ -160,9 +160,10 @@ def test_segment_volume_int16_resident_matches_fp32(rng, monkeypatch):
     def run(v, patch):
         if patch:
             # the backend patch routes upload_volume onto the accelerator
-            # wire path; pin the fused-encoder default OFF so the "tpu"
+            # wire path; pin the fused-kernel defaults OFF so the "tpu"
             # answer doesn't also select Pallas kernels (CPU test backend)
             monkeypatch.setenv("SABER_FUSED_BLOCK", "0")
+            monkeypatch.setenv("SABER_FUSED_MEMFFN", "0")
             monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         else:
             monkeypatch.undo()

@@ -394,3 +394,33 @@ class TestNavigationAndGallery:
         # 2D path: no z
         items2d = class_gallery(sess, "r", img[2], vol[2], 4)
         assert items2d[0]["z"] is None and items2d[0]["mask"].sum() == 16
+
+
+def test_per_slice_label_areas_single_pass_table():
+    from saber_tpu.gui.base.annotation_session import (SliceNavigator,
+                                                       per_slice_label_areas)
+    vol = np.zeros((4, 6, 6), np.uint16)
+    vol[1, :2, :3] = 1
+    vol[3, 1:3, 1:3] = 1
+    vol[2, :, :] = 2
+    areas = per_slice_label_areas(vol)
+    assert areas.shape == (4, 3)
+    assert areas[1, 1] == 6 and areas[3, 1] == 4 and areas[2, 2] == 36
+    # table-backed slice queries match the scan-based ones
+    for lab in (1, 2, 9):
+        assert (SliceNavigator.slices_with_label(vol, lab, areas=areas)
+                == SliceNavigator.slices_with_label(vol, lab))
+
+
+def test_class_gallery_3d_uses_histogram_best_slice():
+    from saber_tpu.gui.base.annotation_session import (AnnotationSession,
+                                                       class_gallery)
+    vol = np.zeros((3, 8, 8), np.uint16)
+    vol[0, :2, :2] = 1          # area 4
+    vol[2, :4, :4] = 1          # area 16 -> best slice z=2
+    img = np.random.default_rng(0).random((3, 8, 8)).astype(np.float32)
+    sess = AnnotationSession()
+    sess.assign("run", 1, 1)
+    items = class_gallery(sess, "run", img, vol, 1)
+    assert len(items) == 1 and items[0]["z"] == 2
+    assert items[0]["mask"].any()
