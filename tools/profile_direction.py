@@ -102,6 +102,16 @@ def summarize_xplane(logdir: str, topk: int):
         for name, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:topk]:
             print(f"  {ms:9.2f} ms  x{cnt[name]:<5d}  "
                   f"({categorize(name)})  {name[:96]}")
+        # per-category detail for the glue buckets the overall top-K
+        # (dominated by overlapped async copies) never reaches
+        for want in ("xla-fusion (elementwise/reduce/LN)", "layout copies",
+                     "conv/dot", "other"):
+            rows = [(ms, name) for name, ms in tot.items()
+                    if categorize(name) == want]
+            rows.sort(reverse=True)
+            print(f"\n  -- top {want} --")
+            for ms, name in rows[:12]:
+                print(f"  {ms:9.2f} ms  x{cnt[name]:<5d}  {name[:140]}")
 
 
 def main():
