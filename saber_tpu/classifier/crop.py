@@ -48,8 +48,14 @@ def crop_and_resize_adaptive(image: np.ndarray, mask: np.ndarray,
     msk_c = np.pad(mask, ((pad_y0, pad_y1), (pad_x0, pad_x1)))[
         y0 + pad_y0:y1 + pad_y0, x0 + pad_x0:x1 + pad_x0]
 
-    img_r = np.asarray(jax.image.resize(
-        jnp.asarray(img_c, jnp.float32), (crop_size, crop_size), "bilinear"))
-    msk_r = np.asarray(jax.image.resize(
-        jnp.asarray(msk_c, jnp.float32), (crop_size, crop_size), "nearest"))
+    # Pin to the host CPU backend: crop shapes vary per mask, and on the
+    # remote-TPU relay every new shape would otherwise pay a ~45-60 s
+    # remote compile (same rationale as the presence fit, ops/thickness.py)
+    with jax.default_device(jax.devices("cpu")[0]):
+        img_r = np.asarray(jax.image.resize(
+            jnp.asarray(img_c, jnp.float32), (crop_size, crop_size),
+            "bilinear"))
+        msk_r = np.asarray(jax.image.resize(
+            jnp.asarray(msk_c, jnp.float32), (crop_size, crop_size),
+            "nearest"))
     return img_r, msk_r

@@ -67,7 +67,12 @@ class Predictor:
         self._forward = jax.jit(self._forward_impl)
 
     def _forward_impl(self, params, images, masks):
-        """images/masks: (B, 320, 320) → (B, num_classes) probabilities."""
+        """images/masks: (B, 320, 320) → (B, num_classes) probabilities.
+
+        Accepts narrow wire dtypes (fp16 images, uint8 masks) and widens
+        here — the caller keeps the wire small on remote-TPU relays."""
+        images = images.astype(jnp.float32)
+        masks = masks.astype(jnp.float32)
         if self.uses_backbone:
             size = self.backbone.config.image_size
             if images.shape[1] != size or images.shape[2] != size:
@@ -115,8 +120,13 @@ class Predictor:
             if pad > 0:  # keep one static jit shape
                 bi = np.concatenate([bi, np.zeros((pad, *bi.shape[1:]), bi.dtype)])
                 bm = np.concatenate([bm, np.zeros((pad, *bm.shape[1:]), bm.dtype)])
-            out = np.asarray(self._forward(self.params, jnp.asarray(bi),
-                                           jnp.asarray(bm)))
+            # narrow wire dtypes (the relay host link is ~15-30 MB/s):
+            # images ship fp16 (already N(0,1)-normalized — fp16 noise is
+            # ~1e-3 of std), masks ship uint8 (binary, exact); _forward
+            # widens on device
+            out = np.asarray(self._forward(
+                self.params, jnp.asarray(bi.astype(np.float16)),
+                jnp.asarray(bm.astype(np.uint8))))
             outs.append(out[:batchsize - pad if pad > 0 else batchsize])
         probs[valid] = np.concatenate(outs)
         return probs
