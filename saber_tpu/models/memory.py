@@ -17,9 +17,12 @@ bias instead of dynamic shapes.
   from rotation).
 """
 
+import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from saber_tpu.models.norms import LayerNormFast
@@ -35,14 +38,105 @@ class LayerNorm2d(nn.Module):
         return nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32)(x)
 
 
+class _ConvParams(nn.Module):
+    """Param holder matching nn.Conv's tree ({kernel, bias}) so both the
+    direct and the blocked mask-downsampler paths share one checkpoint
+    layout (models/weights.py maps torch Sequential indices here)."""
+    cin: int
+    cout: int
+    k: int = 3
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.k, self.k, self.cin, self.cout))
+        bias = self.param("bias", nn.initializers.zeros, (self.cout,))
+        return kern, bias
+
+
+class _LnParams(nn.Module):
+    """Param holder matching LayerNormFast's tree ({scale, bias})."""
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.c,)),
+                self.param("bias", nn.initializers.zeros, (self.c,)))
+
+
+def _ln_grouped(x, scale, bias, groups: int, eps: float = 1e-6):
+    """LayerNormFast over the true channel dim of a block-packed lane
+    layout: lanes = (p, q, c) with c minor, so stats reduce over the last
+    ``C = L // groups`` of a (…, groups, C) view. fp32 stats, input-dtype
+    elementwise — identical math to LayerNormFast on the unpacked layout."""
+    lanes = x.shape[-1]
+    c = lanes // groups
+    xg = x.reshape(*x.shape[:-1], groups, c)
+    xf = xg.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = (xg - mean.astype(x.dtype)) * rstd.astype(x.dtype)
+    y = y * scale.astype(x.dtype) + bias.astype(x.dtype)
+    return y.reshape(*x.shape[:-1], lanes)
+
+
+def _block_shift(b: int) -> np.ndarray:
+    """(2, 3, b, b/2) 0/1 tensor A[d, k, p, P] = 1 iff a stride-2 k=3 conv
+    output at intra-block row P reads input intra row p of block d−1
+    relative (d=0: the block above/left; d=1: the same block). The input
+    row 2P+k−1 never exceeds b−1, so the below/right neighbour is never
+    touched — the blocked conv is 2×2 in block space."""
+    bo = b // 2
+    a = np.zeros((2, 3, b, bo), np.float32)
+    for pp in range(bo):
+        for k in range(3):
+            t = 2 * pp + k - 1
+            d = 0 if t < 0 else 1
+            a[d, k, t + (b if t < 0 else 0), pp] = 1.0
+    return a
+
+
+def _blocked_conv_kernel(w, b: int):
+    """Scatter a (3, 3, Cin, Cout) stride-2 conv kernel into the
+    (2, 2, b²·Cin, (b/2)²·Cout) kernel of the equivalent stride-1 conv on
+    a b×b space-to-depth packed layout (lane = (p·b + q)·C + c). Each
+    output element receives exactly one W tap (the placement tensors are
+    disjoint), so the rearrangement is exact — no accumulation happens."""
+    cin, cout = w.shape[2], w.shape[3]
+    bo = b // 2
+    ay = jnp.asarray(_block_shift(b), w.dtype)
+    kb = jnp.einsum("dkpP,elqQ,klcC->depqcPQC", ay, ay, w)
+    return kb.reshape(2, 2, b * b * cin, bo * bo * cout)
+
+
+# Blocked (space-to-depth) mask downsampler: the direct path's 1/4/16/64-
+# channel conv pyramid is pathological on TPU lanes (round-4 direction
+# trace: ~1.1 ms/slice of layout copies + pad fusions around the tiny-C
+# convs). SABER_BLOCKED_MDS=0 reverts to the direct convs.
+_BLOCKED_MDS = os.environ.get("SABER_BLOCKED_MDS", "1") != "0"
+
+
 class MaskDownSampler(nn.Module):
     """Downsample a full-res mask 16× into embed_dim channels.
 
-    NOTE (round-3 negative result): reformulating the 1/4-channel
-    stride-2 convs as shifted-slice sums + per-tap channel einsums (the
-    Gaussian z-smooth trick) measured 27.4 → 16.9 slices/s on the
-    direction probe — the tap einsums lower WORSE than XLA's conv for
-    these shapes. Keep the dense convs."""
+    Two equivalent compute paths over one param tree (torch layout,
+    sam2 MaskDownSampler — reference drives it via propagate_in_video,
+    saber/adapters/sam2/predictor.py:196-202):
+
+    - direct: four stride-2 3×3 convs 1→4→16→64→256 with LN+GELU between
+      (exact torch Sequential semantics).
+    - blocked (default): the input is 16×16 space-to-depth packed once,
+      so every layer becomes a 2×2 stride-1 conv at 256 lanes in and out
+      (kernels rearranged at trace time, ``_blocked_conv_kernel``); LN
+      runs grouped over the true channels. Exact to fp32-accumulation
+      reordering. Keeps all intermediates lane-dense — the direct path's
+      (512², 4)/(256², 16) layouts cost more in relayout copies than
+      their convs do in FLOPs.
+
+    NOTE (round-3 negative result): per-tap channel einsums (the Gaussian
+    z-smooth trick) measured 27.4 → 16.9 slices/s on the direction probe
+    — tap einsums lower WORSE than XLA's conv for these shapes."""
     embed_dim: int = 256
     kernel_size: int = 3
     stride: int = 2
@@ -53,17 +147,50 @@ class MaskDownSampler(nn.Module):
     def __call__(self, x):  # (B, H, W, 1)
         import math
         num_layers = int(math.log2(self.total_stride) // math.log2(self.stride))
-        ch = 1
-        for i in range(num_layers):
-            ch_out = ch * (self.stride**2)
-            x = nn.Conv(ch_out, (self.kernel_size, self.kernel_size),
-                        strides=(self.stride, self.stride),
-                        padding=self.kernel_size // 2, dtype=self.dtype,
-                        name=f"encoder_{i}_conv")(x)
-            x = LayerNormFast(name=f"encoder_{i}_ln")(x)
-            x = nn.gelu(x, approximate=False)
-            ch = ch_out
-        return nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="final_conv")(x)
+        dt = self.dtype
+        chans = [self.stride ** (2 * i) for i in range(num_layers + 1)]
+        convs = [_ConvParams(chans[i], chans[i + 1], self.kernel_size,
+                             name=f"encoder_{i}_conv")()
+                 for i in range(num_layers)]
+        lns = [_LnParams(chans[i + 1], name=f"encoder_{i}_ln")()
+               for i in range(num_layers)]
+
+        blocked = (_BLOCKED_MDS and self.kernel_size == 3 and self.stride == 2
+                   and x.shape[1] % self.total_stride == 0
+                   and x.shape[2] % self.total_stride == 0)
+        if blocked:
+            b0, hb, wb = (self.total_stride,
+                          x.shape[1] // self.total_stride,
+                          x.shape[2] // self.total_stride)
+            xb = x.reshape(x.shape[0], hb, b0, wb, b0)
+            xb = xb.transpose(0, 1, 3, 2, 4).reshape(x.shape[0], hb, wb, -1)
+            xb = xb.astype(dt)
+            b = b0
+            for i in range(num_layers):
+                kern, bias = convs[i]
+                kb = _blocked_conv_kernel(kern, b).astype(dt)
+                bias_b = jnp.tile(bias, (b // 2) ** 2).astype(dt)
+                xb = jax.lax.conv_general_dilated(
+                    xb, kb, window_strides=(1, 1),
+                    padding=((1, 0), (1, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias_b
+                b //= 2
+                xb = _ln_grouped(xb, lns[i][0], lns[i][1], groups=b * b)
+                xb = nn.gelu(xb, approximate=False)
+            x = xb  # b == 1: lanes are the true channels
+        else:
+            for i in range(num_layers):
+                kern, bias = convs[i]
+                pad = self.kernel_size // 2
+                x = jax.lax.conv_general_dilated(
+                    x.astype(dt), kern.astype(dt),
+                    window_strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")
+                ) + bias.astype(dt)
+                x = _ln_grouped(x, lns[i][0], lns[i][1], groups=1)
+                x = nn.gelu(x, approximate=False)
+        return nn.Conv(self.embed_dim, (1, 1), dtype=dt, name="final_conv")(x)
 
 
 class CXBlock(nn.Module):

@@ -169,3 +169,23 @@ def test_mask_downsampler_matches_manual_replay(rng):
         ref, fc["kernel"], (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + fc["bias"]
     np.testing.assert_allclose(got, np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_mask_downsampler_blocked_matches_direct(rng, monkeypatch):
+    """The blocked (space-to-depth) path is exact vs the direct conv
+    pyramid up to fp32 accumulation reordering — same params, both paths
+    forced via the module flag."""
+    import jax
+    import jax.numpy as jnp
+
+    import saber_tpu.models.memory as mem
+
+    m = mem.MaskDownSampler(embed_dim=8, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 1)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+
+    monkeypatch.setattr(mem, "_BLOCKED_MDS", True)
+    blocked = np.asarray(m.apply({"params": params}, x))
+    monkeypatch.setattr(mem, "_BLOCKED_MDS", False)
+    direct = np.asarray(m.apply({"params": params}, x))
+    np.testing.assert_allclose(blocked, direct, atol=2e-5, rtol=2e-5)

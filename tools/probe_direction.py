@@ -7,9 +7,12 @@ the host. Everything warm (second iteration reported).
 """
 
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
