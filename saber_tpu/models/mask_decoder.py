@@ -9,6 +9,19 @@ so the propagation scan can thread them functionally (SURVEY.md §7.4).
 
 The decoder is vmap-friendly over prompts: the AMG runs it with a batch of
 point prompts against one set of (broadcast) image embeddings.
+
+NOTE (round-4 measured negative result): reformulating the two k=2/s=2
+ConvTranspose upscale stages as space-to-depth dense matmuls (exact — no
+cross-block taps) measured **5.44 s/image vs 3.51 s** on the hiera-L AMG
+sweep and was reverted. Two failure modes at the 16-crop/1024-prompt
+scale: without an optimization barrier XLA fused the un/re-block
+transposes into the LayerNorm and rematerialized 7-D fp32 temps at 2-64×
+tile padding (8 GB single allocations, OOM); with the barrier it ran but
+forced the multi-GB per-candidate pyramid to materialize, losing to the
+direct lowering's remat schedule. The device trace's visible layout
+copies around these convs are part of a globally better plan — per-op
+copy time does not convert to recoverable wall time (same lesson as the
+blocked mask downsampler in models/memory.py, which measured neutral).
 """
 
 from typing import Optional, Sequence, Tuple

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from saber_tpu.models.norms import LayerNormFast
+from saber_tpu.models.norms import LayerNormFast, LnParams, ln_grouped
 from saber_tpu.models.position_encoding import apply_rotary_enc, compute_axial_cis
 
 
@@ -54,31 +54,10 @@ class _ConvParams(nn.Module):
         return kern, bias
 
 
-class _LnParams(nn.Module):
-    """Param holder matching LayerNormFast's tree ({scale, bias})."""
-    c: int
-
-    @nn.compact
-    def __call__(self):
-        return (self.param("scale", nn.initializers.ones, (self.c,)),
-                self.param("bias", nn.initializers.zeros, (self.c,)))
+_LnParams = LnParams  # shared param holder lives in models/norms.py
 
 
-def _ln_grouped(x, scale, bias, groups: int, eps: float = 1e-6):
-    """LayerNormFast over the true channel dim of a block-packed lane
-    layout: lanes = (p, q, c) with c minor, so stats reduce over the last
-    ``C = L // groups`` of a (…, groups, C) view. fp32 stats, input-dtype
-    elementwise — identical math to LayerNormFast on the unpacked layout."""
-    lanes = x.shape[-1]
-    c = lanes // groups
-    xg = x.reshape(*x.shape[:-1], groups, c)
-    xf = xg.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    y = (xg - mean.astype(x.dtype)) * rstd.astype(x.dtype)
-    y = y * scale.astype(x.dtype) + bias.astype(x.dtype)
-    return y.reshape(*x.shape[:-1], lanes)
+_ln_grouped = ln_grouped  # shared impl lives in models/norms.py
 
 
 def _block_shift(b: int) -> np.ndarray:
