@@ -121,8 +121,9 @@ def _bench_e2e(on_tpu: bool):
     if src_dtype:
         info = np.iinfo(np.dtype(src_dtype))
         lo, hi = vol.min(), vol.max()
-        vol = ((vol - lo) / (hi - lo) * (info.max - info.min)
-               + info.min).astype(src_dtype)
+        scale = (hi - lo) if hi > lo else 1.0   # constant-volume guard
+        vol = np.clip((vol - lo) / scale * (info.max - info.min)
+                      + info.min, info.min, info.max).astype(src_dtype)
 
     def run_once():
         out = seg.segment(vol, thickness=10)

@@ -126,7 +126,10 @@ class Predictor:
             # widens on device
             out = np.asarray(self._forward(
                 self.params, jnp.asarray(bi.astype(np.float16)),
-                jnp.asarray(bm.astype(np.uint8))))
+                # explicit threshold: a plain astype would truncate soft
+                # masks in (0, 1) to all-zeros; callers pass binary masks
+                # today but the uint8 wire narrowing must not rely on it
+                jnp.asarray((bm > 0.5).astype(np.uint8))))
             outs.append(out[:batchsize - pad if pad > 0 else batchsize])
         probs[valid] = np.concatenate(outs)
         return probs

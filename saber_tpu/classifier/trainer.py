@@ -268,8 +268,16 @@ class ClassifierTrainer:
         sorted by global offset, which is the order `_put_global` assigned
         the local loader rows to the local devices."""
         if self._multiprocess and self.mesh is not None:
-            shards = sorted(preds.addressable_shards,
-                            key=lambda s: s.index[0].start or 0)
+            shards = preds.addressable_shards
+            # _build_steps pins preds to P("data"); a replicated shard
+            # (index start None) would make every local device contribute
+            # a full copy and silently corrupt epoch metrics — fail loud.
+            starts = [s.index[0].start for s in shards]
+            assert all(st is not None for st in starts) and (
+                len(set(starts)) == len(starts)), (
+                "preds out-sharding is not disjoint per device "
+                f"(shard starts {starts}); expected P('data')")
+            shards = sorted(shards, key=lambda s: s.index[0].start)
             return np.concatenate(
                 [np.asarray(s.data).reshape(-1) for s in shards])
         return np.asarray(preds).reshape(-1)

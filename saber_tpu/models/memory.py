@@ -299,7 +299,12 @@ class RoPEAttention(nn.Module):
             # encodes the rule; SABER_MEMSELF_BLOCKS ("bq,bk") and
             # SABER_MEMCROSS_BLOCK_K override.
             from saber_tpu.ops.flash_attention import preferred_kv_blocking
-            if tk <= 4096 and tk % 512 == 0:
+            # role, not shape, picks the blocking: self-attention is the
+            # rope_k_repeat=False call site (q = k = v over the frame
+            # grid); a small memory bank that happens to be <=4096 tokens
+            # must still take the cross blocking + its env override
+            is_self = not self.rope_k_repeat
+            if is_self and tk <= 4096 and tk % 512 == 0:
                 bq, bk = (map(int, os.environ.get(
                     "SABER_MEMSELF_BLOCKS", "512,%d" % tk).split(",")))
             else:

@@ -3,8 +3,9 @@ path, host label expansion exactness, and deep reset semantics.
 
 The fused path (sam2_adapter._direction_program) folds gather → slab
 preprocess → encoder → tracking scan → low-res paint into one jitted
-program per direction; these tests pin it to the legacy per-chunk path
-(still used for mesh-sharded encodes and host-offloaded volumes)."""
+program per direction — including under a mesh, where it shards the slab
+encode over the `data` axis (TestMeshFused). These tests pin it to the
+legacy per-chunk path (still used for host-offloaded volumes)."""
 
 import jax
 import jax.numpy as jnp
