@@ -145,6 +145,7 @@ class SAM2Adapter(BaseAdapter):
         self._dir_jit = None
         self._seed_jit = None
         self._multi_seed_jits = {}
+        self._mask_generator = None   # AMG rebuilds mesh-sharded (amg.py)
         if mesh is not None:
             from saber_tpu.parallel.mesh import replicate
             n = int(np.prod(mesh.devices.shape))
@@ -174,7 +175,8 @@ class SAM2Adapter(BaseAdapter):
         if self._mask_generator is None or self._mask_generator_cfg != amg_cfg:
             self._mask_generator = build_amg(
                 self.model, self.params, amg_cfg,
-                min_area_filter=self._config.min_mask_area)
+                min_area_filter=self._config.min_mask_area,
+                mesh=self.mesh)
             self._mask_generator_cfg = amg_cfg.model_copy(deep=True)
         return self._mask_generator.generate(image)
 

@@ -134,7 +134,8 @@ class AutomaticMaskGenerator:
                  min_rel_box_size: Optional[float] = None,
                  max_rel_box_size: Optional[float] = None,
                  min_area_filter: Optional[int] = None,
-                 max_area_filter: Optional[int] = None):
+                 max_area_filter: Optional[int] = None,
+                 mesh=None):
         self.model = model
         self.params = params
         self.cfg = cfg or AMGConfig()
@@ -142,8 +143,38 @@ class AutomaticMaskGenerator:
         self.max_rel_box_size = max_rel_box_size
         self.min_area_filter = min_area_filter
         self.max_area_filter = max_area_filter
+        self.mesh = mesh
         self._crop_fn_cache: Dict[Any, Any] = {}
         self._generate_cache: Dict[Any, Any] = {}
+
+    def set_mesh(self, mesh) -> None:
+        """Shard the one-program generate over a device mesh: each
+        layer's crop batch shards over the ``data`` axis when the crop
+        count divides it (the 16-crop layer on 8 devices), and
+        single/few-crop layers shard their point-grid decode chunks
+        instead (64-point chunks on 8 devices = 8 prompts/device). The
+        reference parallelizes AMG only at whole-image granularity
+        (saber/utils/parallelization.py:15); this shards WITHIN one
+        image for single-image latency. Mesh-captured programs are
+        invalidated."""
+        self.mesh = mesh
+        self._crop_fn_cache.clear()
+        self._generate_cache.clear()
+        if mesh is not None:
+            from saber_tpu.parallel.mesh import replicate
+            self.params = replicate(mesh, self.params)
+
+    def _mesh_size(self) -> int:
+        import numpy as _np
+        return 1 if self.mesh is None else int(_np.prod(self.mesh.devices.shape))
+
+    def _shard(self, x, *spec):
+        """with_sharding_constraint when a mesh is set (no-op otherwise)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(*spec)))
 
     # ------------------------------------------------------------------
     # Device pipeline
@@ -251,19 +282,10 @@ class AutomaticMaskGenerator:
         cap = min(cfg.max_masks, n_points_side**2 * k_mult)
         lowres = model_size // 4
 
-        def run_one(params, backbone):
-            # backbone leaves arrive WITHOUT a batch axis (vmapped out)
-            grid = build_point_grid(n_points_side) * model_size  # (G²,2) xy px
-            g2 = grid.shape[0]
-            pad = (-g2) % chunk
-            grid_p = jnp.concatenate(
-                [grid, jnp.full((pad, 2), -1.0)], axis=0) if pad else grid
-            pad_mask = jnp.concatenate(
-                [jnp.ones((g2,), bool), jnp.zeros((pad,), bool)]) if pad \
-                else jnp.ones((g2,), bool)
-            chunks = grid_p.reshape(-1, chunk, 2)
-            chunk_valid = pad_mask.reshape(-1, chunk)
-
+        def run_one(params, backbone, chunks, chunk_valid):
+            # backbone leaves arrive WITHOUT a batch axis (vmapped out);
+            # chunks/chunk_valid are shared across crops (in_axes=None)
+            # so ``gen`` can shard the prompt axis outside the vmap
             # batch-1 image features: the decoder broadcasts them against
             # the prompt batch lazily at the skip-connection adds, instead
             # of materializing (chunk, 256, 256, 256) fpn copies
@@ -299,7 +321,21 @@ class AutomaticMaskGenerator:
             buf["boxes"] = boxes
             return buf
 
-        return jax.vmap(run_one, in_axes=(None, 0))
+        return jax.vmap(run_one, in_axes=(None, 0, None, None))
+
+    def _grid_chunks(self, n_points_side: int, chunk: int):
+        """Static (n_chunks, chunk, 2) point grid + validity for a layer
+        (pixel xy at model scale, padded with -1 sentinels)."""
+        model_size = self.model.config.image_size
+        grid = build_point_grid(n_points_side) * model_size    # (G², 2)
+        g2 = grid.shape[0]
+        pad = (-g2) % chunk
+        grid_p = jnp.concatenate(
+            [grid, jnp.full((pad, 2), -1.0)], axis=0) if pad else grid
+        pad_mask = jnp.concatenate(
+            [jnp.ones((g2,), bool), jnp.zeros((pad,), bool)]) if pad \
+            else jnp.ones((g2,), bool)
+        return grid_p.reshape(-1, chunk, 2), pad_mask.reshape(-1, chunk)
 
     def _layer_chunk(self, n_points_side: int, n_crops: int) -> int:
         per_crop = min(self.cfg.points_per_batch, n_points_side**2)
@@ -460,15 +496,34 @@ class AutomaticMaskGenerator:
         mean = jnp.asarray(_IMAGENET_MEAN)
         std = jnp.asarray(_IMAGENET_STD)
 
+        # a layer shards over the mesh's `data` axis on whichever batch
+        # dimension divides it: the crop batch when it can (the 16-crop
+        # layer on ≤16 devices), else the point-grid prompt chunks
+        # (single-crop layers: 64-point chunks = 8 prompts/device on 8
+        # chips). GSPMD propagates the input constraint through the
+        # encoder / the decode scan. ``last_shard_modes`` records the
+        # per-layer decision for tests and the driver dryrun.
+        n_dev = self._mesh_size()
+        shard_modes = tuple(
+            "crop" if (n_dev > 1 and len(boxes) % n_dev == 0) else
+            "chunk" if (n_dev > 1 and per_crop % n_dev == 0) else None
+            for boxes, _, per_crop in layer_plan)
+        self.last_shard_modes = shard_modes
+
         def gen(params, img):
             bufs, crop_params = [], []
-            for boxes, n_side, per_crop in layer_plan:
+            for (boxes, n_side, per_crop), mode in zip(layer_plan,
+                                                       shard_modes):
+                crop_shard = mode == "crop"
+                chunk_shard = mode == "chunk"
                 resized = jnp.stack([
                     jax.image.resize(img[c[1]:c[3], c[0]:c[2]],
                                      (model_size, model_size, 3),
                                      method="bilinear")
                     for c in boxes])
                 resized = (resized - mean) / std
+                if crop_shard:
+                    resized = self._shard(resized, "data")
                 # encode_video_frames = encode_image + the decoder's
                 # conv_s0/s1 skip projections, applied ONCE per crop —
                 # the grid sweep's scan body would otherwise re-project
@@ -477,8 +532,15 @@ class AutomaticMaskGenerator:
                                       method=mcls.encode_video_frames)
                 decode_bb = {"vision_features": bb["vision_features"],
                              "backbone_fpn": list(bb["backbone_fpn"])}
+                if crop_shard:
+                    decode_bb = jax.tree.map(
+                        lambda x: self._shard(x, "data"), decode_bb)
+                chunks, chunk_valid = self._grid_chunks(n_side, per_crop)
+                if chunk_shard:
+                    chunks = self._shard(chunks, None, "data")
+                    chunk_valid = self._shard(chunk_valid, None, "data")
                 buf = self._layer_fn(n_side, per_crop, len(boxes))(
-                    params, decode_bb)
+                    params, decode_bb, chunks, chunk_valid)
                 bufs.append(buf)
                 crop_params.append(jnp.asarray(
                     [[c[0], c[1], c[2] - c[0], c[3] - c[1]] for c in boxes],
@@ -607,9 +669,10 @@ class AutomaticMaskGenerator:
 def build_amg(model: SAM2, params, amg_cfg: Optional[AMGConfig] = None,
               min_rel_box_size: Optional[float] = None,
               max_rel_box_size: Optional[float] = None,
-              min_area_filter: Optional[int] = None) -> AutomaticMaskGenerator:
+              min_area_filter: Optional[int] = None,
+              mesh=None) -> AutomaticMaskGenerator:
     """Construct the point-grid generator (reference automask.py:49-86)."""
     return AutomaticMaskGenerator(
         model, params, amg_cfg,
         min_rel_box_size=min_rel_box_size, max_rel_box_size=max_rel_box_size,
-        min_area_filter=min_area_filter)
+        min_area_filter=min_area_filter, mesh=mesh)

@@ -26,6 +26,7 @@ block. Non-qualifying blocks fall back to the flax path.
 
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -294,6 +295,31 @@ def _attn_vmem(ta, c, hg, hp, wbuf, xbytes):
 # cheaper than the lost row utilization, so 256 stays the default.
 _ATTN_BAND = int(os.environ.get("SABER_ATTN_BAND", "256"))
 
+# QKV/attention layout inside the fused kernel:
+#   "padded"     — per-head lanes zero-padded to 128 (hp); every lane slice
+#                  is 128-aligned but the qkv GEMM computes 3·H·128 output
+#                  lanes and the proj GEMM contracts over H·128 — a 1.78×
+#                  pad for hiera's hd=72 heads.
+#   "transposed" — head-packed panels: qkv is computed TRANSPOSED,
+#                  (3·hg·hd, Ta) = Wt·normedᵀ with lane-DENSE weights
+#                  (hiera-L s4: 3456 = 27 dense 128-panels instead of 48
+#                  padded ones), heads are sliced on SUBLANES (hd=72 =
+#                  9×8 fp32 rows — tile-aligned, no lane relayout), and
+#                  the proj runs as an AᵀB dot whose contraction is the
+#                  dense packed H·hd instead of H·128. Per-head attention
+#                  GEMMs keep their inherent 72→128 systolic pad either
+#                  way; only the qkv/proj pad is removed.
+#   "auto"       — transposed for wide stages (num_heads >= 8), padded
+#                  below. v5e A/B, hiera-L 1024²/b8 ms/call: s1 5.75/6.23,
+#                  s2 2.81/2.97, s3 1.855/1.745, s4 1.770/1.437
+#                  (padded/transposed) — the qkv/proj pad saved grows
+#                  with H·hd/C while the transposed fixed costs (fp32
+#                  head slices + casts) shrink relative to the GEMMs.
+#                  Whole-encoder A/B (same session, warm): 175.1 ms
+#                  padded vs 172.3 ms auto — −1.6%, ≈ the per-stage
+#                  deltas minus scheduling absorption.
+_ATTN_LAYOUT = os.environ.get("SABER_ATTN_LAYOUT", "auto")
+
 
 def _pick_attn_blocks(nwx: int, window: int, c: int, num_heads: int,
                       hd: int, xbytes: int, budget: int = 12 * 2**20):
@@ -350,16 +376,216 @@ def _pick_attn_blocks(nwx: int, window: int, c: int, num_heads: int,
     return fallback
 
 
-@functools.partial(jax.jit, static_argnames=("window", "num_heads"))
+def _group_qkv_t(wqkv, bqkv, c_out, num_heads, ngroups, hg):
+    """Transposed/head-packed layout: rows of the returned
+    (ngroups·3·hg·hd, Cin) kernel are [q heads | k heads | v heads] per
+    group, hd rows per head — fully lane-dense (the contraction is Cin),
+    with NO per-head padding anywhere. Bias returns as a (rows, 1)
+    column so it broadcasts over the token lanes of the transposed qkv."""
+    hd = c_out // num_heads
+    wt = wqkv.T                                   # (3·c_out, cin)
+    rows, brows = [], []
+    for j in range(ngroups):
+        for part in range(3):
+            lo = part * c_out + j * hg * hd
+            rows.append(wt[lo:lo + hg * hd])
+            brows.append(bqkv[lo:lo + hg * hd])
+    return jnp.concatenate(rows, 0), jnp.concatenate(brows).reshape(-1, 1)
+
+
+def _attn_vmem_t(ta, c, hg, hd, wbuf, xbytes):
+    n = 3 * hg * hd
+    return (4 * ta * c * xbytes               # x + out, double-buffered
+            + wbuf * n * c * xbytes           # wqkv_t block
+            + wbuf * n * 128 * 4              # (N, 1) bias, lane-padded
+            + wbuf * hg * hd * c * xbytes     # wproj row block
+            + ta * c * xbytes                 # normed scratch
+            + n * ta * 4                      # qkv_t fp32 scratch
+            + hg * hd * ta * 4                # out_t fp32 scratch
+            + ta * c * 4                      # fp32 accumulator
+            + ta * ta * 8                     # mask iotas
+            + ta * ta * 4                     # per-head logits
+            + 3 * hd * ta * xbytes)           # q/k/v bf16 casts
+
+
+def _pick_attn_blocks_t(nwx: int, window: int, c: int, num_heads: int,
+                        hd: int, xbytes: int, budget: int = 12 * 2**20):
+    """(windows per band g, heads per group hg) for the transposed
+    layout, or None (caller falls back to the padded layout). Same band
+    legality as ``_pick_attn_blocks``; streamed head groups additionally
+    need the weight-block sublane dims (3·hg·hd and hg·hd) tile-aligned,
+    and the per-head fp32 sublane slices need hd % 8 == 0."""
+    if hd % 8:
+        return None
+    t = window * window
+    band = max(_ATTN_BAND, t)
+    sub = 16 if xbytes == 2 else 8
+    gs = [g for g in range(min(nwx, max(1, _ATTN_BAND // t)), 0, -1)
+          if nwx % g == 0 and ((g * window) % 8 == 0 or g == nwx)]
+    if not gs:
+        return None
+    for g in gs:                 # resident: all heads, single weight buffer
+        ta = g * t
+        if (ta <= band and
+                _attn_vmem_t(ta, c, num_heads, hd, 1, xbytes) <= budget):
+            return g, num_heads
+    fallback = None
+    for g in gs:                 # streamed head groups
+        ta = g * t
+        for hg in range(num_heads, 0, -1):
+            if (num_heads % hg or (3 * hg * hd) % sub
+                    or (hg * hd) % sub):
+                continue
+            used = _attn_vmem_t(ta, c, hg, hd, 2, xbytes)
+            if used <= budget and ta <= band:
+                return g, hg
+            fallback = (g, hg)
+    return fallback
+
+
+def _attn_kernel_t(x_ref, s_ref, b_ref, wqkvt_ref, bqkvt_ref, wproj_ref,
+                   bproj_ref, *rest, window, heads_per_group, hd,
+                   masked, valid_hw=None):
+    """Transposed-layout program: one (window, g·window) row-band × one
+    head group, with qkv computed as (3·hg·hd, Ta) = W_packed · normedᵀ
+    (an ABᵀ dot — both contractions ride lanes). Heads are SUBLANE
+    slices of the fp32 qkv scratch (hd multiples of 8 — tile-aligned, no
+    lane relayout), per-head attention runs AᵀB / ABᵀ against the
+    transposed operands, and the output projection contracts the packed
+    (hg·hd, Ta) attention result against the UNMODIFIED wproj rows —
+    every GEMM is lane-dense except the inherent hd→128 systolic pad
+    inside the per-head dots."""
+    mask_ref = rest[0] if masked else None
+    out_ref, normed_ref, qkvt_ref, outt_ref, acc_ref = rest[-5:]
+    hgrp = pl.program_id(3)
+    nh = pl.num_programs(3)
+    xb = x_ref[0]                               # (w, blk_w, C)
+    w, blk_w, c = xb.shape
+    ta = w * blk_w
+    hg = heads_per_group
+    dt = xb.dtype
+
+    tokens = xb.reshape(ta, c)
+    valid = (None if valid_hw is None
+             else _pad_validity(window, blk_w, valid_hw))
+
+    @pl.when(hgrp == 0)
+    def _():
+        normed = _ln(tokens, s_ref[0], b_ref[0])
+        if valid is not None:
+            normed = normed * valid.astype(normed.dtype)
+        normed_ref[:] = normed
+        acc_ref[:] = (tokens.astype(jnp.float32)
+                      + bproj_ref[0].astype(jnp.float32))
+
+    qkvt = jax.lax.dot_general(                 # (3·hg·hd, Ta), ABᵀ
+        wqkvt_ref[:], normed_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkvt_ref[:] = qkvt + bqkvt_ref[:].astype(jnp.float32)
+
+    for h in range(hg):                         # sublane slices, 8-aligned
+        q = qkvt_ref[pl.ds(h * hd, hd), :].astype(dt)
+        k = qkvt_ref[pl.ds((hg + h) * hd, hd), :].astype(dt)
+        logits = jax.lax.dot_general(           # (Ta, Ta), AᵀB
+            q, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if masked:
+            logits = logits + mask_ref[:]
+        probs = _softmax(logits).astype(dt)
+        v = qkvt_ref[pl.ds((2 * hg + h) * hd, hd), :].astype(dt)
+        outt_ref[pl.ds(h * hd, hd), :] = jax.lax.dot_general(
+            v, probs, (((1,), (1,)), ((), ())),   # (hd, Ta), ABᵀ
+            preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot_general(          # (Ta, C), AᵀB — dense K
+        outt_ref[:].astype(dt), wproj_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(hgrp == nh - 1)
+    def _():
+        out_ref[0] = acc_ref[:].astype(dt).reshape(w, blk_w, c)
+
+
+def _window_attention_t(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                        window, num_heads, valid_hw, picked):
+    """Transposed-layout dispatch for ``fused_window_attention`` (inputs
+    already canvas-padded; ``picked`` from ``_pick_attn_blocks_t``)."""
+    b, h, w, c = x.shape
+    nwy = h // window
+    nwx = w // window
+    hd = c // num_heads
+    g, hg = picked
+    ngroups = num_heads // hg
+
+    wqkv_s, bqkv_s = _scale_q(wqkv, bqkv, c, hd ** -0.5)
+    wqkvt, bqkvt = _group_qkv_t(wqkv_s, bqkv_s, c, num_heads, ngroups, hg)
+
+    n = 3 * hg * hd
+    blk_w = g * window
+    masked = g > 1
+    operands = [x, ln_scale.reshape(1, c), ln_bias.reshape(1, c), wqkvt,
+                bqkvt, wproj, bproj.reshape(1, c)]
+    in_specs = [
+        pl.BlockSpec((1, window, blk_w, c), lambda i, j, k, l: (i, j, k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, j, k, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, j, k, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, c), lambda i, j, k, l: (l, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 1), lambda i, j, k, l: (l, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hg * hd, c), lambda i, j, k, l: (l, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, j, k, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if masked:
+        operands.append(_band_mask(window, blk_w))
+        in_specs.append(pl.BlockSpec((window * blk_w, window * blk_w),
+                                     lambda i, j, k, l: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_t, window=window,
+                          heads_per_group=hg, hd=hd, masked=masked,
+                          valid_hw=valid_hw),
+        grid=(b, nwy, nwx // g, ngroups),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, window, blk_w, c),
+                               lambda i, j, k, l: (i, j, k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((window * blk_w, c), x.dtype),       # LN output
+            pltpu.VMEM((n, window * blk_w), jnp.float32),   # qkvᵀ
+            pltpu.VMEM((hg * hd, window * blk_w), jnp.float32),  # attnᵀ
+            pltpu.VMEM((window * blk_w, c), jnp.float32),   # accumulator
+        ],
+        interpret=_interpret(),
+    )(*operands)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "num_heads", "layout"))
 def fused_window_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                           *, window: int, num_heads: int):
+                           *, window: int, num_heads: int,
+                           layout: Optional[str] = None):
     """x: (B, H, W, C), any H/W — non-multiples of ``window`` run on a
     zero-padded canvas with in-kernel validity masking (exact flax/torch
     pad-after-LN semantics) and the output is cropped back.
 
     Returns x + proj(window_attention(LN(x))) — the first half of a
     same-dim MultiScaleBlock (models/hiera.py:119-147).
+
+    ``layout``: None → the SABER_ATTN_LAYOUT env default; "padded" /
+    "transposed" force a kernel layout (see ``_ATTN_LAYOUT``). The
+    transposed layout falls back to padded when its picker finds no
+    legal blocking.
     """
+    if layout is None:
+        layout = _ATTN_LAYOUT
+    if layout == "auto":
+        layout = "transposed" if num_heads >= 8 else "padded"
     b, h0, w0, c = x.shape
     pad_h = (window - h0 % window) % window
     pad_w = (window - w0 % window) % window
@@ -371,6 +597,14 @@ def fused_window_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     nwx = w // window
     t = window * window
     hd = c // num_heads
+    if layout == "transposed":
+        picked_t = _pick_attn_blocks_t(nwx, window, c, num_heads, hd,
+                                       jnp.dtype(x.dtype).itemsize)
+        if picked_t is not None:
+            out = _window_attention_t(x, ln_scale, ln_bias, wqkv, bqkv,
+                                      wproj, bproj, window, num_heads,
+                                      valid_hw, picked_t)
+            return out[:, :h0, :w0] if valid_hw is not None else out
     picked = _pick_attn_blocks(nwx, window, c, num_heads, hd,
                                jnp.dtype(x.dtype).itemsize)
     if picked is None:

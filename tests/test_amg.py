@@ -130,3 +130,48 @@ def test_fullres_stability_phase_matches_matrix(rng):
     lo = (up > -1.0).sum(axis=(-2, -1)).astype(np.float32)
     want = np.where(lo > 0, hi / np.maximum(lo, 1), 1.0)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_amg_mesh_sharded_generate_matches_single(tiny, rng):
+    """The mesh-sharded one-program generate (crop batches and decode
+    chunks constrained over the 8-device `data` axis) must produce the
+    same masks as the unsharded program — sharding is a layout, not a
+    semantic, change."""
+    from saber_tpu.parallel.mesh import make_mesh
+
+    model, params = tiny
+    # crop_n_layers=2 exercises BOTH sharding modes on 8 devices:
+    # the 1-crop layer chunk-shards its 8-point decode chunks, the
+    # 16-crop layer crop-shards its encoder/sweep batch
+    cfg = _loose_cfg(crop_n_layers=2, points_per_batch=8)
+    img = rng.random((IMG, IMG)).astype(np.float32)
+
+    ref = AutomaticMaskGenerator(model, params, cfg).generate(img)
+
+    mesh = make_mesh(8)
+    amg = AutomaticMaskGenerator(model, params, cfg, mesh=mesh)
+    got = amg.generate(img)
+    assert "crop" in amg.last_shard_modes, amg.last_shard_modes
+    assert "chunk" in amg.last_shard_modes, amg.last_shard_modes
+
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g["predicted_iou"], r["predicted_iou"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(g["stability_score"], r["stability_score"],
+                                   atol=1e-5)
+        assert g["crop_box"] == r["crop_box"]
+        mismatch = (g["segmentation"] ^ r["segmentation"]).sum()
+        assert mismatch <= 0.001 * g["segmentation"].size, mismatch
+
+
+def test_amg_set_mesh_invalidates_programs(tiny):
+    """set_mesh must drop mesh-captured generate programs."""
+    from saber_tpu.parallel.mesh import make_mesh
+
+    model, params = tiny
+    amg = AutomaticMaskGenerator(model, params, _loose_cfg())
+    amg._generate_cache["sentinel"] = object()
+    amg._crop_fn_cache["sentinel"] = object()
+    amg.set_mesh(make_mesh(8))
+    assert not amg._generate_cache and not amg._crop_fn_cache

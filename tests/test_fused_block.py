@@ -83,6 +83,51 @@ def test_fused_block_matches_flax_block(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+def test_transposed_attention_matches_flax_block(rng):
+    """Head-packed transposed layout == flax, incl. streamed head groups
+    and the padded-canvas path."""
+    import saber_tpu.ops.fused_block as fb
+    for kw, shape, force_hg in (
+            (dict(dim=32, dim_out=32, num_heads=2, window_size=4),
+             (2, 8, 8, 32), None),
+            (dict(dim=64, dim_out=64, num_heads=4, window_size=4),
+             (1, 16, 16, 64), 2),             # streamed head groups
+            (dict(dim=32, dim_out=32, num_heads=2, window_size=6),
+             (2, 16, 16, 32), None)):         # non-divisible canvas
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        ref_b = MultiScaleBlock(fused=False, **kw)
+        params = ref_b.init(jax.random.PRNGKey(0), x)["params"]
+        params = jax.tree.map(
+            lambda a: jnp.asarray(0.05 * rng.standard_normal(a.shape),
+                                  a.dtype), params)
+        ref = ref_b.apply({"params": params}, x)
+
+        a, ln = params["attn"], params["norm1"]
+        win, heads = kw["window_size"], kw["num_heads"]
+        if force_hg is None:
+            out = fused_window_attention(
+                x, ln["scale"], ln["bias"], a["qkv"]["kernel"],
+                a["qkv"]["bias"], a["proj"]["kernel"], a["proj"]["bias"],
+                window=win, num_heads=heads, layout="transposed")
+        else:
+            # drive the dispatcher directly with a forced (g, hg) to pin
+            # the head-group streaming path regardless of VMEM budget
+            hd = kw["dim"] // heads
+            nwx = shape[2] // win
+            g, _ = fb._pick_attn_blocks_t(nwx, win, kw["dim"], heads, hd, 4)
+            out = fb._window_attention_t(
+                x, ln["scale"], ln["bias"], a["qkv"]["kernel"],
+                a["qkv"]["bias"], a["proj"]["kernel"], a["proj"]["bias"],
+                win, heads, None, (g, force_hg))
+        # complete the block through the (layout-independent) fused MLP
+        out_full = fused_mlp(
+            out, params["norm2"]["scale"], params["norm2"]["bias"],
+            params["mlp_fc1"]["kernel"], params["mlp_fc1"]["bias"],
+            params["mlp_fc2"]["kernel"], params["mlp_fc2"]["bias"])
+        np.testing.assert_allclose(np.asarray(out_full), np.asarray(ref),
+                                   atol=5e-5)
+
+
 def test_fused_trunk_matches_flax_trunk(rng):
     """Full mini-Hiera incl. q-pool transitions + a global block: the fused
     trunk falls back per-block where the kernel doesn't apply and matches

@@ -64,8 +64,9 @@ def build_split(amg, h, w, layer_plan):
                                  method=mcls.encode_video_frames)
             decode_bb = {"vision_features": bb["vision_features"],
                          "backbone_fpn": list(bb["backbone_fpn"])}
+            chunks, chunk_valid = amg._grid_chunks(n_side, per_crop)
             buf = amg._layer_fn(n_side, per_crop, len(boxes))(
-                params, decode_bb)
+                params, decode_bb, chunks, chunk_valid)
             bufs.append(buf)
             crop_params.append(jnp.asarray(
                 [[c[0], c[1], c[2] - c[0], c[3] - c[1]] for c in boxes],
