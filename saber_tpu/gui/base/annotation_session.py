@@ -424,6 +424,75 @@ class ViewState:
         return y0, x0, y1, x1
 
 
+class LinkedViews:
+    """Synchronized zoom/pan across multiple viewports — the dual-view
+    picker's left/right panes move together (reference
+    segmentation_picker.py:40-55 keeps two aspect-locked ViewBoxes over
+    the same image; the Qt shell links them with setXLink/setYLink, this
+    headless model broadcasts every ViewState operation so the web UI
+    shares the exact rect math)."""
+
+    def __init__(self, *views: ViewState):
+        self.views = list(views)
+
+    def add(self, view: ViewState) -> None:
+        # adopt the first view's state so a late-added pane snaps in sync
+        if self.views:
+            v0 = self.views[0]
+            view.zoom, view.cy, view.cx = v0.zoom, v0.cy, v0.cx
+        self.views.append(view)
+
+    def zoom_by(self, factor: float,
+                at: Optional[Tuple[float, float]] = None) -> None:
+        for v in self.views:
+            v.zoom_by(factor, at)
+
+    def pan(self, dy: float, dx: float) -> None:
+        for v in self.views:
+            v.pan(dy, dx)
+
+    def reset(self) -> None:
+        for v in self.views:
+            v.reset()
+
+
+def masks_at(masks: np.ndarray, y: int, x: int) -> List[int]:
+    """Indices of every mask in an (N, H, W) stack covering pixel (y, x)
+    — the overlap set a click cycles through (reference
+    segmentation_picker.py:163-169 scans self.masks per click)."""
+    h, w = masks.shape[-2:]
+    if not (0 <= y < h and 0 <= x < w):
+        return []
+    return [int(i) for i in np.nonzero(masks[:, y, x])[0]]
+
+
+class ClickCycler:
+    """Repeated clicks at one pixel cycle through the overlapping masks
+    under it (reference segmentation_picker.py:168-178 —
+    _last_click_pos / _current_mask_index). A click elsewhere restarts
+    at the topmost hit."""
+
+    def __init__(self):
+        self._pos: Optional[Tuple[int, int]] = None
+        self._idx = 0
+
+    def hit(self, hits: List[int],
+            pos: Tuple[int, int]) -> Optional[int]:
+        """Pick one mask index from the overlap set for a click at
+        ``pos``; None when nothing is under the cursor."""
+        if not hits:
+            self._pos = None
+            return None
+        if pos != self._pos:
+            self._pos, self._idx = pos, 0
+        else:
+            self._idx += 1
+        return hits[self._idx % len(hits)]
+
+    def reset(self) -> None:
+        self._pos, self._idx = None, 0
+
+
 def per_slice_label_areas(label_volume: np.ndarray,
                           num_labels: Optional[int] = None) -> np.ndarray:
     """(Z, num_labels+1) voxel counts of every label in every z-slice in

@@ -46,6 +46,7 @@ class AnnotationViewer(QtWidgets.QWidget):  # pragma: no cover - Qt
         layout = QtWidgets.QHBoxLayout(self)
         self.mask_items = []
         self.boundary_items = []
+        self.view_boxes = []
         for _ in range(2):
             glw = pg.GraphicsLayoutWidget()
             vb = glw.addViewBox(lockAspect=True)
@@ -59,6 +60,11 @@ class AnnotationViewer(QtWidgets.QWidget):  # pragma: no cover - Qt
             layout.addWidget(glw)
             self.mask_items.append(mask)
             self.boundary_items.append(bnd)
+            self.view_boxes.append(vb)
+        # synchronized dual-view zoom/pan (reference segmentation_picker
+        # pane pairing; headless analog: annotation_session.LinkedViews)
+        self.view_boxes[1].setXLink(self.view_boxes[0])
+        self.view_boxes[1].setYLink(self.view_boxes[0])
         self.mask_items[0].mouseClickEvent = self._clicked
         self.status = QtWidgets.QLabel(self)
         self.status.move(8, 8)

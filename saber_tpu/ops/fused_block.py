@@ -217,13 +217,19 @@ def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 def fused_attention_applicable(h: int, w: int, window: int, c: int,
                                num_heads: int, dtype) -> bool:
     """True when fused_window_attention has a Mosaic-legal block config
-    for this shape (callers use the flax path otherwise — e.g. the
-    window-14 stage of hiera base/small/tiny, whose padded width admits
-    no band with blk_w % 8 == 0 inside the VMEM budget)."""
+    for this shape. Banded blockings cover sublane-aligned windows; the
+    PARTITIONED layout covers the rest (window-14/7 stages of hiera
+    base/small/tiny) whenever hd is 8-aligned and a one-window block
+    fits VMEM — callers use the flax path otherwise."""
     wp = w + (window - w % window) % window
-    return _pick_attn_blocks(wp // window, window, c, num_heads,
-                             c // num_heads,
-                             jnp.dtype(dtype).itemsize) is not None
+    xb = jnp.dtype(dtype).itemsize
+    hd = c // num_heads
+    if _pick_attn_blocks(wp // window, window, c, num_heads, hd,
+                         xb) is not None:
+        return True
+    # gb adapts to the batch at dispatch; gb=1 is the fit floor
+    return _pick_attn_part(1, window * window, c, num_heads, hd,
+                           xb) is not None
 
 
 def fused_pool_applicable(h: int, w: int, window: int, cin: int, cout: int,
@@ -565,6 +571,140 @@ def _window_attention_t(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     )(*operands)
 
 
+def _attn_vmem_part(gb, t, c, num_heads, hd, xbytes):
+    n = 3 * num_heads * hd
+    tl = -(-t // 128) * 128                   # lane-padded token dim
+    ts = -(-t // 8) * 8                       # sublane-padded token dim
+    return (4 * gb * ts * c * xbytes          # x + out, double-buffered
+            + n * c * xbytes                  # wqkv_t, resident
+            + num_heads * hd * c * xbytes     # wproj, resident
+            + n * 128 * 4                     # (n, 1) bias, lane-padded
+            + n * tl * 4                      # qkvt fp32 scratch
+            + num_heads * hd * tl * 4         # packed attn output value
+            + ts * c * (xbytes + 4)           # normed + fp32 accumulator
+            + ts * tl * 8)                    # logits + probs
+
+
+# SABER_ATTN_PART=0 disables the partitioned layout (flax fallback, the
+# pre-round-5 behavior for window-14/7 stages) — A/B and revert knob.
+_ATTN_PART = os.environ.get("SABER_ATTN_PART", "1") == "1"
+
+
+def _pick_attn_part(nw, t, c, num_heads, hd, xbytes,
+                    budget: int = 12 * 2**20):
+    """Windows-per-program ``gb`` for the PARTITIONED layout, or None.
+
+    Covers windows whose token count t = window² is not sublane-aligned
+    (hiera base/small/tiny stages 3-4: window 14 → t 196, window 7 →
+    t 49), where no banded blocking is Mosaic-legal. The caller window-
+    partitions to (nW, t, C) in XLA first; a (gb, t, C) block is then
+    legal for ANY t because both trailing block dims equal the array
+    dims. All heads stay resident (one grid visit per block — scratch
+    never persists across programs, so t needs no alignment anywhere);
+    per-head q/k/v are 8-aligned SUBLANE slices of the transposed qkv
+    scratch, as in the banded transposed layout.
+
+    v5e A/B (hiera-base 1024²/b8, in-session): encoder 102.4 ms with the
+    flax fallback → 96.2 ms partitioned (−6%). SABER_ATTN_PART=0
+    reverts."""
+    if not _ATTN_PART or hd % 8 or nw < 1:
+        return None
+    cap = max(1, 1024 // t)
+    for gb in range(min(nw, cap), 0, -1):
+        if nw % gb == 0 and _attn_vmem_part(gb, t, c, num_heads, hd,
+                                            xbytes) <= budget:
+            return gb
+    return None
+
+
+def _attn_kernel_part(x_ref, s_ref, b_ref, wqkvt_ref, bqkvt_ref, wproj_ref,
+                      bproj_ref, out_ref, qkvt_ref, *, gb, num_heads, hd,
+                      window, nwy, nwx, valid_hw):
+    """Partitioned-layout program: ``gb`` whole windows (leading block
+    dim), all heads resident, transposed qkv math — see
+    ``_pick_attn_part``. The canvas-pad validity is recomputed from the
+    global window index (grid is flat over B·nwy·nwx)."""
+    t = window * window
+    dt = x_ref.dtype
+    for wdx in range(gb):
+        xw = x_ref[wdx]                          # (t, C)
+        normed = _ln(xw, s_ref[0], b_ref[0])
+        if valid_hw is not None:
+            widx = pl.program_id(0) * gb + wdx
+            wy = (widx // nwx) % nwy
+            wx = widx % nwx
+            p = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+            row = wy * window + p // window
+            col = wx * window + p % window
+            valid = ((row < valid_hw[0]) & (col < valid_hw[1]))
+            normed = normed * valid.astype(normed.dtype)
+        qkvt = jax.lax.dot_general(              # (3·H·hd, t), ABᵀ
+            wqkvt_ref[:], normed, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkvt_ref[:] = qkvt + bqkvt_ref[:].astype(jnp.float32)
+        outs = []
+        for h in range(num_heads):               # 8-aligned sublane slices
+            q = qkvt_ref[pl.ds(h * hd, hd), :].astype(dt)
+            k = qkvt_ref[pl.ds((num_heads + h) * hd, hd), :].astype(dt)
+            logits = jax.lax.dot_general(        # (t, t), AᵀB
+                q, k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            probs = _softmax(logits).astype(dt)
+            v = qkvt_ref[pl.ds((2 * num_heads + h) * hd, hd), :].astype(dt)
+            outs.append(jax.lax.dot_general(     # (hd, t), ABᵀ
+                v, probs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dt))
+        outt = jnp.concatenate(outs, 0)          # (H·hd, t)
+        acc = xw.astype(jnp.float32) + bproj_ref[0].astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(         # (t, C), AᵀB — dense K
+            outt, wproj_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[wdx] = acc.astype(dt)
+
+
+def _window_attention_part(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                           window, num_heads, valid_hw, gb):
+    """Partitioned-layout dispatch: XLA window partition → flat Pallas
+    grid over windows → unpartition (input already canvas-padded)."""
+    b, h, w, c = x.shape
+    nwy = h // window
+    nwx = w // window
+    t = window * window
+    hd = c // num_heads
+    nw = b * nwy * nwx
+    n = 3 * num_heads * hd
+
+    wqkv_s, bqkv_s = _scale_q(wqkv, bqkv, c, hd ** -0.5)
+    wqkvt, bqkvt = _group_qkv_t(wqkv_s, bqkv_s, c, num_heads, 1, num_heads)
+
+    xp = (x.reshape(b, nwy, window, nwx, window, c)
+          .transpose(0, 1, 3, 2, 4, 5).reshape(nw, t, c))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_part, gb=gb, num_heads=num_heads,
+                          hd=hd, window=window, nwy=nwy, nwx=nwx,
+                          valid_hw=valid_hw),
+        grid=(nw // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, t, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw, t, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((n, t), jnp.float32)],
+        interpret=_interpret(),
+    )(xp, ln_scale.reshape(1, c), ln_bias.reshape(1, c), wqkvt, bqkvt,
+      wproj, bproj.reshape(1, c))
+    return (out.reshape(b, nwy, nwx, window, window, c)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("window", "num_heads", "layout"))
 def fused_window_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
@@ -608,6 +748,16 @@ def fused_window_attention(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     picked = _pick_attn_blocks(nwx, window, c, num_heads, hd,
                                jnp.dtype(x.dtype).itemsize)
     if picked is None:
+        # no banded blocking (t = window² not sublane-aligned — window 14
+        # / 7 stages of hiera base/small/tiny): partition in XLA and run
+        # the flat per-window kernel
+        gb = _pick_attn_part(b * nwy * nwx, t, c, num_heads, hd,
+                             jnp.dtype(x.dtype).itemsize)
+        if gb is not None:
+            out = _window_attention_part(x, ln_scale, ln_bias, wqkv, bqkv,
+                                         wproj, bproj, window, num_heads,
+                                         valid_hw, gb)
+            return out[:, :h0, :w0] if valid_hw is not None else out
         raise ValueError(
             f"no Mosaic-legal band for window={window}, W={w} — gate "
             "with fused_attention_applicable() and use the flax path")

@@ -12,6 +12,27 @@ if not os.environ.get("DISPLAY"):
 import matplotlib.pyplot as plt  # noqa: E402
 
 
+def visualize_patch_features(features: np.ndarray) -> np.ndarray:
+    """(H, W, C) or (C, H, W) patch features → (H, W, 3) PCA composite in
+    [0, 1] (reference embeddings.visualize_patch_features consumed by the
+    interactive composite browsers, visualization/interactive.py:99-151):
+    the three leading principal components of the per-patch feature
+    vectors become RGB, each channel min-max normalized."""
+    f = np.asarray(features, np.float64)
+    if f.ndim != 3:
+        raise ValueError(f"expected 3D patch features, got {f.shape}")
+    if f.shape[0] > f.shape[-1]:          # (C, H, W) → (H, W, C)
+        f = np.moveaxis(f, 0, -1)
+    h, w, c = f.shape
+    flat = f.reshape(h * w, c)
+    flat = flat - flat.mean(axis=0)
+    _, _, vt = np.linalg.svd(flat, full_matrices=False)
+    proj = flat @ vt[:3].T                # (HW, 3)
+    lo = proj.min(axis=0)
+    span = np.maximum(proj.max(axis=0) - lo, 1e-9)
+    return ((proj - lo) / span).reshape(h, w, 3).astype(np.float32)
+
+
 def plot_embeddings(features: np.ndarray, labels: Optional[np.ndarray] = None,
                     fname: str = "embeddings.png", method: str = "pca"):
     """(N, D) features → 2D scatter colored by label (PCA; no sklearn

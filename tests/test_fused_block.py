@@ -128,6 +128,46 @@ def test_transposed_attention_matches_flax_block(rng):
                                    atol=5e-5)
 
 
+def test_partitioned_attention_matches_flax_block(rng):
+    """Windows whose t = window² is not sublane-aligned (no banded
+    blocking exists) run the PARTITIONED layout: window 10 on a 3-window
+    row forces it (g=1 band is 8-misaligned, g=3 exceeds the band start).
+    Covers gb>1 window batching, the flat widx→(wy,wx) decomposition,
+    and the padded-canvas validity."""
+    import saber_tpu.ops.fused_block as fb
+    for shape, valid in (((2, 30, 30, 32), False),   # exact canvas
+                         ((1, 28, 26, 32), True)):   # padded canvas
+        kw = dict(dim=32, dim_out=32, num_heads=2, window_size=10)
+        # the banded pickers must FAIL here, or this test isn't covering
+        # the partitioned dispatch
+        assert fb._pick_attn_blocks(3, 10, 32, 2, 16, 4) is None
+        assert fb._pick_attn_blocks_t(3, 10, 32, 2, 16, 4) is None
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        ref_b = MultiScaleBlock(fused=False, **kw)
+        fused_b = MultiScaleBlock(fused=True, **kw)
+        params = ref_b.init(jax.random.PRNGKey(0), x)["params"]
+        params = jax.tree.map(
+            lambda a: jnp.asarray(0.05 * rng.standard_normal(a.shape),
+                                  a.dtype), params)
+        ref = ref_b.apply({"params": params}, x)
+        out = fused_b.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5)
+
+
+def test_partitioned_picker_covers_hiera_base_stage3():
+    """hiera-base stage 3 at 1024² (the 16-block window-14 stage that
+    previously fell back to flax) must now be applicable: banded pickers
+    fail, the partitioned picker fits."""
+    from saber_tpu.ops.fused_block import fused_attention_applicable
+    import saber_tpu.ops.fused_block as fb
+    # canvas 70 → nwx 5, c 448, 8 heads of hd 56, bf16
+    assert fb._pick_attn_blocks(5, 14, 448, 8, 56, 2) is None
+    assert fb._pick_attn_blocks_t(5, 14, 448, 8, 56, 2) is None
+    assert fb._pick_attn_part(8 * 25, 196, 448, 8, 56, 2) is not None
+    assert fused_attention_applicable(64, 64, 14, 448, 8, jnp.bfloat16)
+
+
 def test_fused_trunk_matches_flax_trunk(rng):
     """Full mini-Hiera incl. q-pool transitions + a global block: the fused
     trunk falls back per-block where the kernel doesn't apply and matches

@@ -424,3 +424,97 @@ def test_class_gallery_3d_uses_histogram_best_slice():
     items = class_gallery(sess, "run", img, vol, 1)
     assert len(items) == 1 and items[0]["z"] == 2
     assert items[0]["mask"].any()
+
+
+class TestDualViewPicker:
+    """Headless models behind the dual-view picker (reference
+    segmentation_picker.py): linked zoom/pan, click overlap cycling."""
+
+    def test_linked_views_broadcast_and_late_add(self):
+        from saber_tpu.gui.base.annotation_session import (LinkedViews,
+                                                           ViewState)
+        a, b = ViewState(100, 100), ViewState(100, 100)
+        lv = LinkedViews(a, b)
+        lv.zoom_by(4.0, at=(10.0, 20.0))
+        lv.pan(3.0, -2.0)
+        assert (a.zoom, a.cy, a.cx) == (b.zoom, b.cy, b.cx)
+        assert a.zoom == 4.0
+        # a view added later snaps to the group's state
+        c = ViewState(100, 100)
+        lv.add(c)
+        assert (c.zoom, c.cy, c.cx) == (a.zoom, a.cy, a.cx)
+        lv.reset()
+        assert a.zoom == b.zoom == c.zoom == 1.0
+
+    def test_masks_at_and_click_cycling(self):
+        from saber_tpu.gui.base.annotation_session import (ClickCycler,
+                                                           masks_at)
+        masks = np.zeros((3, 8, 8), bool)
+        masks[0, 2:6, 2:6] = True
+        masks[1, 4:8, 4:8] = True
+        masks[2, 0:3, 0:3] = True
+        assert masks_at(masks, 5, 5) == [0, 1]
+        assert masks_at(masks, 0, 0) == [2]
+        assert masks_at(masks, -1, 0) == []
+        assert masks_at(masks, 7, 0) == []
+
+        cyc = ClickCycler()
+        hits = masks_at(masks, 5, 5)
+        # repeated clicks at one pixel cycle through the overlap set
+        assert cyc.hit(hits, (5, 5)) == 0
+        assert cyc.hit(hits, (5, 5)) == 1
+        assert cyc.hit(hits, (5, 5)) == 0
+        # a click elsewhere restarts at the topmost hit
+        assert cyc.hit(masks_at(masks, 0, 0), (0, 0)) == 2
+        # empty hit resets
+        assert cyc.hit([], (9, 9)) is None
+        assert cyc.hit(hits, (5, 5)) == 0
+
+
+class TestVisualizationHelpers:
+    def test_visualize_patch_features_composite(self):
+        from saber_tpu.visualization.embeddings import \
+            visualize_patch_features
+        rng = np.random.default_rng(0)
+        f = rng.standard_normal((16, 16, 32)).astype(np.float32)
+        out = visualize_patch_features(f)
+        assert out.shape == (16, 16, 3)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        # channels-first input maps to the same composite
+        out2 = visualize_patch_features(np.moveaxis(f, -1, 0))
+        np.testing.assert_allclose(out, out2, atol=1e-5)
+
+    def test_display_embedding_channel_and_show_dataset(self, tmp_path):
+        from saber_tpu.visualization.interactive import (
+            display_embedding_channel, show_dataset)
+        rng = np.random.default_rng(0)
+        img = rng.random((32, 32)).astype(np.float32)
+        emb = rng.random((32, 32, 8)).astype(np.float32)
+        p = display_embedding_channel(img, emb, 3,
+                                      fname=str(tmp_path / "ch.png"))
+        assert p and (tmp_path / "ch.png").exists()
+
+        class _DS:
+            def __getitem__(self, i):
+                m = np.zeros((1, 32, 32), np.float32)
+                m[0, 4:12, 4:12] = 1
+                return {"image": img[None], "mask": m, "label": 2}
+
+        p2 = show_dataset(_DS(), 0, fname=str(tmp_path / "item.png"))
+        assert p2 and (tmp_path / "item.png").exists()
+
+    def test_display_composite_embedding_smoke(self, tmp_path):
+        from types import SimpleNamespace
+
+        from saber_tpu.models.sam2 import build_sam2
+        from saber_tpu.visualization.interactive import \
+            display_composite_embedding
+        model, params = build_sam2("tiny", image_size=64, seed=0)
+        adapter = SimpleNamespace(model=model, params=params)
+        rng = np.random.default_rng(0)
+        zfile = {"run1": {"image": rng.random((48, 48)).astype(np.float32)}}
+        for level in ("embed", "high_res1"):
+            p = display_composite_embedding(
+                zfile, ["run1"], adapter, 0, level=level,
+                fname=str(tmp_path / f"{level}.png"))
+            assert (tmp_path / f"{level}.png").exists()
