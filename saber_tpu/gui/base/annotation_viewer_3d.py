@@ -85,6 +85,22 @@ class AnnotationSegmentationViewer3D(QtWidgets.QWidget):  # pragma: no cover
         self.status = QtWidgets.QLabel()
         layout.addWidget(self.status)
         self.mask_items[0].mouseClickEvent = self._clicked
+        # synchronized dual-view zoom/pan + right-click reset (reference
+        # annotation_viewer_3d.py:424-436)
+        self.views[1].setXLink(self.views[0])
+        self.views[1].setYLink(self.views[0])
+        for vb in self.views:
+            vb.setMenuEnabled(False)
+            vb.mouseClickEvent = self._view_clicked
+
+    def _view_clicked(self, ev):
+        if ev.button() == QtCore.Qt.RightButton:
+            self.reset_view()
+            ev.accept()
+
+    def reset_view(self):
+        for vb in self.views:
+            vb.autoRange()
 
     def _on_slider(self, value):
         self.nav.set(value)
