@@ -415,12 +415,20 @@ def _attn_vmem_t(ta, c, hg, hd, wbuf, xbytes):
 
 
 def _pick_attn_blocks_t(nwx: int, window: int, c: int, num_heads: int,
-                        hd: int, xbytes: int, budget: int = 12 * 2**20):
+                        hd: int, xbytes: int,
+                        budget: int = int(9.5 * 2**20)):
     """(windows per band g, heads per group hg) for the transposed
     layout, or None (caller falls back to the padded layout). Same band
     legality as ``_pick_attn_blocks``; streamed head groups additionally
     need the weight-block sublane dims (3·hg·hd and hg·hd) tile-aligned,
-    and the per-head fp32 sublane slices need hd % 8 == 0."""
+    and the per-head fp32 sublane slices need hd % 8 == 0.
+
+    Budget is tighter than the padded picker's 12 MiB: Mosaic's actual
+    scoped-VMEM allocation runs ~1.36× this estimate (measured: the
+    hiera-L s4 (g=4, hg=4) pick estimated 11.8 MiB but allocated
+    16.04 MiB — 39 KB OVER the 16 MiB limit inside the one-program AMG
+    generate, while squeaking by standalone). 9.5 MiB keeps actual
+    usage ≤ ~13 MiB; s4 now streams (g=4, hg=2), s3 stays resident."""
     if hd % 8:
         return None
     t = window * window
