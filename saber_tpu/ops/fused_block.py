@@ -599,7 +599,7 @@ _ATTN_PART = os.environ.get("SABER_ATTN_PART", "1") == "1"
 
 
 def _pick_attn_part(nw, t, c, num_heads, hd, xbytes,
-                    budget: int = 12 * 2**20):
+                    budget: int = int(9.5 * 2**20)):
     """Windows-per-program ``gb`` for the PARTITIONED layout, or None.
 
     Covers windows whose token count t = window² is not sublane-aligned
