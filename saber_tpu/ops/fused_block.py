@@ -323,7 +323,11 @@ _ATTN_BAND = int(os.environ.get("SABER_ATTN_BAND", "256"))
 #                  head slices + casts) shrink relative to the GEMMs.
 #                  Whole-encoder A/B (same session, warm): 175.1 ms
 #                  padded vs 172.3 ms auto — −1.6%, ≈ the per-stage
-#                  deltas minus scheduling absorption.
+#                  deltas minus scheduling absorption. After the VMEM
+#                  budget fix s4 streams (g=4, hg=2): 1.524 vs 1.670
+#                  padded (−9%; the unsafe (4,4) pick was 1.437 but
+#                  allocated 16.04 MiB > the 16 MiB limit in larger
+#                  programs).
 _ATTN_LAYOUT = os.environ.get("SABER_ATTN_LAYOUT", "auto")
 
 
