@@ -55,12 +55,22 @@ def main():
                         * c ** -0.5, dt)
     bproj = jnp.zeros((c,), jnp.float32)
 
-    g, hg, hp = fb._pick_attn_blocks(
-        side // window, window * window, c, heads, c // heads,
-        jnp.dtype(dt).itemsize)
+    layout = fb._ATTN_LAYOUT
+    if layout == "auto":
+        layout = "transposed" if heads >= 8 else "padded"
+    xb = jnp.dtype(dt).itemsize
+    hd = c // heads
+    picked_t = (fb._pick_attn_blocks_t(side // window, window, c, heads,
+                                       hd, xb)
+                if layout == "transposed" else None)
+    if picked_t is not None:
+        blocks = f"transposed g={picked_t[0]} hg={picked_t[1]}"
+    else:
+        g, hg, hp = fb._pick_attn_blocks(side // window, window, c, heads,
+                                         hd, xb)
+        blocks = f"padded g={g} hg={hg} hp={hp}"
     print(f"stage {stage}: ({b},{side},{side},{c}) w={window} h={heads}  "
-          f"blocks g={g} hg={hg} hp={hp} softmax={fb._SOFTMAX_MODE}",
-          flush=True)
+          f"{blocks} softmax={fb._SOFTMAX_MODE}", flush=True)
 
     def call(v):
         return fb.fused_window_attention(
