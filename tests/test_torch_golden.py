@@ -422,6 +422,12 @@ def _delta(a, b):
     (1, (1, 16, 16, 96)),     # q-pool stage transition 96→192, window 4
     (5, (2, 4, 4, 384)),      # global attention block (window 0)
     (2, (1, 14, 14, 192)),    # window 4 with 14%4≠0 → padding path
+    # the base/small/tiny window-14/7 geometries (the stages the TPU
+    # PARTITIONED kernel covers — flax-vs-torch here + partitioned-vs-
+    # flax in test_fused_block closes the chain to the TPU path):
+    (4, (1, 16, 16, 384)),    # window 14 same-dim, 16%14≠0 → padding
+    (10, (1, 14, 14, 384)),   # stage-4 transition, window 14 + q-pool
+    (11, (1, 8, 8, 768)),     # window 7 same-dim, 8%7≠0 → padding
 ])
 def test_hiera_block_golden(synth, block_idx, shape):
     sd, tsd, params = synth
