@@ -11,6 +11,12 @@ surface, serving a single-page annotation UI:
                              reference's annotation_viewer_3d z-slider,
                              gui/base/annotation_viewer_3d.py)
 - POST /api/annotate         {run, accepted: {class: [idx]}, rejected: [idx]}
+- GET  /api/run/<name>/pick?y=&x=&z=  mask hits under a pixel (dual-view
+                             click-to-accept; 2D stacks return ALL
+                             overlapping masks for click cycling)
+- POST /api/accepted_overlay {run, accepted, z} → accepted-only overlay
+                             PNG colored by class (the dual-view right
+                             pane, reference segmentation_picker)
 - GET  /api/annotations      current annotation JSON
 - GET  /api/classes          class-name map from zarr attrs
 
@@ -48,7 +54,11 @@ canvas{border:1px solid #444;image-rendering:pixelated}
 </style></head><body>
 <div id="runs"><h3>Runs</h3><ul id="runlist"></ul></div>
 <div id="main"><h3 id="title">select a run</h3>
-<canvas id="cv" width="512" height="512"></canvas>
+<canvas id="cv" width="512" height="512" title="candidates — click to
+ accept into the selected class; repeated clicks cycle overlaps; wheel
+ zooms, drag pans (both panes synced); double-click resets"></canvas>
+<canvas id="cv2" width="512" height="512"
+ title="accepted masks (class colors)"></canvas>
 <div id="zrow" style="display:none">z:
   <input id="zslider" type="range" min="0" max="0" value="0"
          oninput="setZ(this.value)">
@@ -101,24 +111,100 @@ async function loadRun(name){
     document.getElementById('zlabel').textContent=z+'/'+(data.nz-1);}
   else zrow.style.display='none';
   state[name]=state[name]||{accepted:{},rejected:[]};
-  draw(); chips();
+  vt={s:1,ox:0,oy:0}; accOvl=null; lastPick=null;
+  draw(); chips(); refreshAccepted();
 }
 async function setZ(v){
   z=+v; document.getElementById('zlabel').textContent=z+'/'+(data.nz-1);
   data = await (await fetch('/api/run/'+cur+'/slice/'+z)).json();
-  draw();
+  draw(); refreshAccepted();
+}
+// dual-view state: shared zoom/pan (headless analog:
+// annotation_session.LinkedViews), accepted-only overlay for the right
+// pane, click-cycling through overlapping masks (ClickCycler)
+let vt={s:1,ox:0,oy:0}, accOvl=null, lastPick=null, ovlTimer=null;
+function drawPane(id, baseB64, overlayB64, alpha){
+  const cv=document.getElementById(id), ctx=cv.getContext('2d');
+  const img=new Image();
+  img.onload=()=>{
+    const sw=img.width/vt.s, sh=img.height/vt.s;
+    ctx.clearRect(0,0,cv.width,cv.height);
+    ctx.drawImage(img,vt.ox,vt.oy,sw,sh,0,0,cv.width,cv.height);
+    if(overlayB64){
+      const ov=new Image();
+      ov.onload=()=>{ctx.globalAlpha=alpha;
+        ctx.drawImage(ov,vt.ox,vt.oy,sw,sh,0,0,cv.width,cv.height);
+        ctx.globalAlpha=1;};
+      ov.src='data:image/png;base64,'+overlayB64;}};
+  img.src='data:image/png;base64,'+baseB64;
 }
 function draw(){
-  const cv=document.getElementById('cv'), ctx=cv.getContext('2d');
-  const img=new Image();
-  img.onload=()=>{ctx.drawImage(img,0,0,cv.width,cv.height);
-    if(document.getElementById('ovl').checked && data.overlay){
-      const ov=new Image();
-      ov.onload=()=>{ctx.globalAlpha=0.45;
-        ctx.drawImage(ov,0,0,cv.width,cv.height); ctx.globalAlpha=1;};
-      ov.src='data:image/png;base64,'+data.overlay;}};
-  img.src='data:image/png;base64,'+data.image;
+  const showOvl=document.getElementById('ovl').checked;
+  drawPane('cv', data.image, showOvl?data.overlay:null, 0.45);
+  drawPane('cv2', data.image, accOvl, 0.6);
 }
+function refreshAccepted(){
+  clearTimeout(ovlTimer);
+  ovlTimer=setTimeout(async()=>{
+    if(!cur) return;
+    const r=await(await fetch('/api/accepted_overlay',{method:'POST',
+      headers:{'Content-Type':'application/json'},
+      body:JSON.stringify({run:cur,accepted:state[cur].accepted,z:z})})
+      ).json();
+    accOvl=r.overlay; draw();
+  },150);
+}
+function toImage(cv,ev){
+  const r=cv.getBoundingClientRect();
+  const fx=(ev.clientX-r.left)/r.width, fy=(ev.clientY-r.top)/r.height;
+  const W=data.shape[1], H=data.shape[0];
+  return [vt.oy+fy*H/vt.s, vt.ox+fx*W/vt.s];   // [y, x] image coords
+}
+function clampVt(){
+  const W=data.shape[1], H=data.shape[0];
+  vt.s=Math.max(1,Math.min(40,vt.s));
+  vt.ox=Math.max(0,Math.min(W-W/vt.s,vt.ox));
+  vt.oy=Math.max(0,Math.min(H-H/vt.s,vt.oy));
+}
+function wireViews(){
+  let drag=null;
+  for(const id of ['cv','cv2']){
+    const cv=document.getElementById(id);
+    cv.onwheel=(ev)=>{ev.preventDefault(); if(!data) return;
+      const [ay,ax]=toImage(cv,ev);
+      const ns=vt.s*(ev.deltaY<0?1.25:0.8);
+      const k=vt.s/Math.max(1,Math.min(40,ns));
+      vt.ox=ax-(ax-vt.ox)*k; vt.oy=ay-(ay-vt.oy)*k;
+      vt.s=ns; clampVt(); draw();};
+    cv.onmousedown=(ev)=>{drag={x:ev.clientX,y:ev.clientY,
+                                ox:vt.ox,oy:vt.oy,moved:false};};
+    cv.onmousemove=(ev)=>{if(!drag||!data) return;
+      const r=cv.getBoundingClientRect();
+      const dx=(ev.clientX-drag.x)/r.width*data.shape[1]/vt.s;
+      const dy=(ev.clientY-drag.y)/r.height*data.shape[0]/vt.s;
+      if(Math.abs(ev.clientX-drag.x)+Math.abs(ev.clientY-drag.y)>3)
+        drag.moved=true;
+      vt.ox=drag.ox-dx; vt.oy=drag.oy-dy; clampVt(); draw();};
+    cv.onmouseup=async(ev)=>{
+      const wasDrag=drag&&drag.moved; drag=null;
+      if(wasDrag||id!=='cv'||!data||!cur) return;
+      const [ny,nx]=toImage(cv,ev);
+      const py=Math.floor(ny), px=Math.floor(nx);
+      const h=await(await fetch('/api/run/'+cur+'/pick?y='+py+'&x='+px+
+                                '&z='+z)).json();
+      if(!h.hits.length){lastPick=null; return;}
+      // repeated clicks at one pixel cycle through the overlap set
+      if(lastPick && lastPick.y===py && lastPick.x===px) lastPick.k++;
+      else lastPick={y:py,x:px,k:0};
+      const hit=h.hits[lastPick.k % h.hits.length];
+      history.push([hit,stateOf(hit)]);
+      apply(hit,curCls);
+      refreshAccepted();};
+    cv.onmouseleave=()=>{drag=null;};
+    cv.ondblclick=()=>{if(!data) return; vt={s:1,ox:0,oy:0}; draw();};
+  }
+}
+wireViews();
 function stateOf(i){
   const s=state[cur];
   if(s.rejected.includes(i)) return 'rejected';
@@ -152,10 +238,12 @@ function toggle(i){
   const next = prev===null?curCls:(prev==='rejected'?null:'rejected');
   history.push([i,prev]);
   apply(i,next);
+  refreshAccepted();
 }
 function undo(){
   const h=history.pop(); if(!h) return;
   apply(h[0],h[1]);
+  refreshAccepted();
 }
 async function gallery(){
   // per-class review gallery: thumbnails of every mask accepted into the
@@ -295,6 +383,54 @@ class AnnotationApp:
             out["overlay"] = _overlay_b64(label2d)
         return out
 
+    def pick(self, name: str, y: int, x: int, z=None):
+        """Mask hits under a pixel (dual-view click-to-accept, reference
+        segmentation_picker.py:144-196). 3D label maps return the single
+        label at the voxel; 2D per-mask stacks return EVERY overlapping
+        mask index so the client can cycle repeated clicks through them
+        (gui/base/annotation_session.masks_at / ClickCycler)."""
+        image, stack = self._load(name)
+        if stack is None:
+            return {"hits": []}
+        is_3d = image.ndim == 3
+        y, x = int(y), int(x)
+        if is_3d:
+            zi = max(0, min(image.shape[0] - 1, int(z or 0)))
+            label2d = np.asarray(stack[zi])
+            h, w = label2d.shape
+            if not (0 <= y < h and 0 <= x < w):
+                return {"hits": []}
+            v = int(label2d[y, x])
+            return {"hits": [v] if v > 0 else []}
+        from saber_tpu.gui.base.annotation_session import masks_at
+        s = stack if stack.ndim == 3 else stack[None]
+        return {"hits": masks_at(s > 0, y, x)}
+
+    def accepted_overlay(self, payload: dict):
+        """Accepted-only overlay colored by class — the dual-view RIGHT
+        pane (reference segmentation_picker's accepted view). Indices use
+        the same space as the mask chips: label values for 3D maps,
+        stack indices for 2D stacks."""
+        import imageio.v2 as imageio
+        name = payload["run"]
+        image, stack = self._load(name)
+        is_3d = image.ndim == 3
+        z = int(payload.get("z", 0)) if is_3d else 0
+        label2d = self._slice_label_map(stack, is_3d, z)
+        if label2d is None:
+            return {"overlay": None}
+        rgba = np.zeros((*label2d.shape, 4), np.uint8)
+        for cls, idxs in (payload.get("accepted") or {}).items():
+            color = _TAB10[(int(cls) - 1) % len(_TAB10)]
+            for i in idxs:
+                lab = int(i) if is_3d else int(i) + 1
+                m = label2d == lab
+                rgba[m, :3] = color
+                rgba[m, 3] = 255
+        buf = io.BytesIO()
+        imageio.imwrite(buf, rgba, format="png")
+        return {"overlay": base64.b64encode(buf.getvalue()).decode()}
+
     def annotate(self, payload: dict):
         run = payload.pop("run")
         with self.lock:
@@ -429,7 +565,16 @@ def _make_handler(app: AnnotationApp):
                     self._send(200, app.runs())
                 elif self.path.startswith("/api/run/"):
                     rest = self.path[len("/api/run/"):]
-                    if "/slice/" in rest:
+                    if "/pick" in rest:
+                        from urllib.parse import parse_qs, urlparse
+                        parsed = urlparse(self.path)
+                        name = parsed.path[len("/api/run/"):-len("/pick")]
+                        q = parse_qs(parsed.query)
+                        self._send(200, app.pick(
+                            name, int(q.get("y", ["0"])[0]),
+                            int(q.get("x", ["0"])[0]),
+                            z=int(q.get("z", ["0"])[0])))
+                    elif "/slice/" in rest:
                         name, zs = rest.split("/slice/", 1)
                         self._send(200, app.run_payload(name, z=int(zs)))
                     else:
@@ -467,6 +612,10 @@ def _make_handler(app: AnnotationApp):
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
                     self._send(200, app.annotate_text(payload))
+                elif self.path == "/api/accepted_overlay":
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    self._send(200, app.accepted_overlay(payload))
                 else:
                     self._send(404, {"error": "not found"})
             except Exception as e:

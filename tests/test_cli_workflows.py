@@ -294,3 +294,88 @@ def test_save_statistics_and_coordinates(tmp_path, monkeypatch, rng):
     assert out.exit_code == 0, out.output
     picks = [f for f in os.listdir(".") if f.endswith("_picks.json")]
     assert picks, "no pick sidecars written"
+
+
+class TestDualViewEndpoints:
+    """Dual-view picker REST surface (reference segmentation_picker.py):
+    pixel picking with overlap hits + the accepted-only overlay pane."""
+
+    @pytest.fixture()
+    def overlap_zarr(self, tmp_path, rng):
+        p = str(tmp_path / "ov.zarr")
+        root = zarrlite.open_group(p, "w")
+        g = root.create_group("run_A")
+        g.create_dataset("0", data=rng.random((32, 32)).astype(np.float32))
+        stack = np.zeros((2, 32, 32), np.uint8)
+        stack[0, 4:20, 4:20] = 1
+        stack[1, 10:28, 10:28] = 1      # overlaps mask 0 in [10:20)
+        g.create_group("labels").create_dataset("0", data=stack)
+        return p
+
+    def test_pick_overlap_hits_and_bounds(self, overlap_zarr):
+        from saber_tpu.gui.web.server import run_server
+        server = run_server(overlap_zarr, port=0, block=False)
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            h = json.load(urllib.request.urlopen(
+                f"{base}/api/run/run_A/pick?y=15&x=15"))
+            assert h["hits"] == [0, 1]          # overlap → both, in order
+            h0 = json.load(urllib.request.urlopen(
+                f"{base}/api/run/run_A/pick?y=5&x=5"))
+            assert h0["hits"] == [0]
+            empty = json.load(urllib.request.urlopen(
+                f"{base}/api/run/run_A/pick?y=0&x=31"))
+            assert empty["hits"] == []
+            oob = json.load(urllib.request.urlopen(
+                f"{base}/api/run/run_A/pick?y=99&x=0"))
+            assert oob["hits"] == []
+        finally:
+            server.shutdown()
+
+    def test_accepted_overlay_colors_by_class(self, overlap_zarr):
+        import base64 as b64mod
+        import io as iomod
+
+        import imageio.v2 as imageio
+
+        from saber_tpu.gui.web.server import _TAB10, run_server
+        server = run_server(overlap_zarr, port=0, block=False)
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            body = json.dumps({"run": "run_A",
+                               "accepted": {"2": [0]}, "z": 0}).encode()
+            req = urllib.request.Request(
+                f"{base}/api/accepted_overlay", data=body,
+                headers={"Content-Type": "application/json"})
+            r = json.load(urllib.request.urlopen(req))
+            png = imageio.imread(iomod.BytesIO(
+                b64mod.b64decode(r["overlay"])))
+            # mask 0 pixels NOT covered by mask 1 (composite label wins)
+            # get class 2's color; everything else transparent
+            assert tuple(png[5, 5, :3]) == tuple(_TAB10[1])
+            assert png[5, 5, 3] == 255
+            assert png[25, 25, 3] == 0          # mask 1 not accepted
+            assert png[0, 0, 3] == 0            # background
+        finally:
+            server.shutdown()
+
+    def test_pick_3d_label_map(self, tmp_path, rng):
+        from saber_tpu.gui.web.server import run_server
+        p = str(tmp_path / "vol.zarr")
+        root = zarrlite.open_group(p, "w")
+        g = root.create_group("tomo")
+        g.create_dataset("0", data=rng.random((4, 16, 16)).astype(np.float32))
+        labels = np.zeros((4, 16, 16), np.uint8)
+        labels[2, 3:9, 3:9] = 5
+        g.create_group("labels").create_dataset("0", data=labels)
+        server = run_server(p, port=0, block=False)
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            h = json.load(urllib.request.urlopen(
+                f"{base}/api/run/tomo/pick?y=5&x=5&z=2"))
+            assert h["hits"] == [5]             # label value at the voxel
+            h0 = json.load(urllib.request.urlopen(
+                f"{base}/api/run/tomo/pick?y=5&x=5&z=0"))
+            assert h0["hits"] == []
+        finally:
+            server.shutdown()
