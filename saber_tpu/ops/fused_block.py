@@ -365,6 +365,23 @@ def _pick_attn_blocks(nwx: int, window: int, c: int, num_heads: int,
     gs = [g for g in range(min(nwx, max(1, _ATTN_BAND // t)), 0, -1)
           if nwx % g == 0 and ((g * window) % 8 == 0 or g == nwx)]
     if not gs:
+        # last resort: ONE full-row band — blk_w == the padded canvas
+        # width, which Mosaic allows at any alignment (block dim equals
+        # the array dim). Pays g× masked-logit waste but still beats the
+        # flax fallback when neither the aligned bands nor the
+        # partitioned layout apply (e.g. window 7 at nwx 10 with
+        # weights too wide for a resident partitioned block). Bounded to
+        # smallish bands; budget tightened for the Mosaic overhead
+        # margin (see _pick_attn_blocks_t).
+        ta_full = nwx * t
+        if ta_full <= 1024:
+            for hg in range(num_heads, 0, -1):
+                if num_heads % hg:
+                    continue
+                wbuf = 1 if hg == num_heads else 2
+                if _attn_vmem(ta_full, c, hg, hp128, wbuf,
+                              xbytes) <= int(10.5 * 2**20):
+                    return nwx, hg, hp128
         return None
     for hp_try in (hp128, hd):
         for g in gs:

@@ -130,18 +130,18 @@ def test_transposed_attention_matches_flax_block(rng):
 
 def test_partitioned_attention_matches_flax_block(rng):
     """Windows whose t = window² is not sublane-aligned (no banded
-    blocking exists) run the PARTITIONED layout: window 10 on a 3-window
-    row forces it (g=1 band is 8-misaligned, g=3 exceeds the band start).
-    Covers gb>1 window batching, the flat widx→(wy,wx) decomposition,
-    and the padded-canvas validity."""
+    blocking exists, and the full-row last resort is over its 1024-token
+    cap) run the PARTITIONED layout: window 10 on an 11-window row
+    forces it. Covers gb>1 window batching, the flat widx→(wy,wx)
+    decomposition, and the padded-canvas validity."""
     import saber_tpu.ops.fused_block as fb
-    for shape, valid in (((2, 30, 30, 32), False),   # exact canvas
-                         ((1, 28, 26, 32), True)):   # padded canvas
+    for shape, valid in (((1, 110, 110, 32), False),  # exact canvas
+                         ((1, 108, 106, 32), True)):  # padded canvas
         kw = dict(dim=32, dim_out=32, num_heads=2, window_size=10)
         # the banded pickers must FAIL here, or this test isn't covering
         # the partitioned dispatch
-        assert fb._pick_attn_blocks(3, 10, 32, 2, 16, 4) is None
-        assert fb._pick_attn_blocks_t(3, 10, 32, 2, 16, 4) is None
+        assert fb._pick_attn_blocks(11, 10, 32, 2, 16, 4) is None
+        assert fb._pick_attn_blocks_t(11, 10, 32, 2, 16, 4) is None
         x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
         ref_b = MultiScaleBlock(fused=False, **kw)
         fused_b = MultiScaleBlock(fused=True, **kw)
@@ -317,3 +317,58 @@ def test_memory_layer_fused_ffn_matches_flax(rng, monkeypatch):
     out = layer.apply(params, tgt, mem)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=0)
+
+
+def test_picker_sweep_all_configs_and_sizes():
+    """Every windowed stage geometry of every SAM2 config at common image
+    sizes must either pick a Mosaic-legal blocking (banded padded,
+    banded transposed, or partitioned) within the VMEM budget, or be
+    declared inapplicable — and the picked VMEM estimates must carry the
+    measured ~1.36× Mosaic-overhead margin under the 16 MiB limit."""
+    import saber_tpu.ops.fused_block as fb
+    from saber_tpu.models.sam2 import PRESETS
+
+    LIMIT = 16 * 2**20
+    MARGIN = 1.36
+    for cfg_name, p in PRESETS.items():
+        dim, heads = p["embed_dim"], 1 if cfg_name in ("tiny", "small") \
+            else p["num_heads"]
+        heads = p["num_heads"]
+        # 512/1024 (the shipped bench sizes) must be fully covered;
+        # 2048 is off the recommended direct-encode path (sliding window
+        # above 1280 px, Fourier-crop above 2048 — segmenters/micro.py)
+        # and one geometry there (base s4: window 7, nwx 10, 16 heads of
+        # hd 56) legitimately falls back to flax: every kernel layout
+        # either misaligns or lands within ~5% of the 16 MiB scoped-VMEM
+        # limit after the measured 1.36× Mosaic overhead — too thin to
+        # ship (the round-5 AMG compile failure was a 0.25% overshoot).
+        for image_size in (512, 1024):
+            side0 = image_size // 4
+            d, h = dim, heads
+            for stage in range(4):
+                if stage:
+                    d, h = d * 2, h * 2
+                side = side0 // (2 ** stage)
+                window = p["window_spec"][stage]
+                hd = d // h
+                canvas = side + (window - side % window) % window
+                nwx = canvas // window
+                xb = 2  # bf16 on TPU
+                # what the dispatcher would do, in order
+                pick_t = fb._pick_attn_blocks_t(nwx, window, d, h, hd, xb)
+                pick_p = fb._pick_attn_blocks(nwx, window, d, h, hd, xb)
+                nw = 8 * nwx * nwx
+                pick_part = fb._pick_attn_part(nw, window * window, d, h,
+                                               hd, xb)
+                assert pick_t or pick_p or pick_part, (
+                    cfg_name, image_size, stage,
+                    "no layout applies — stage would fall back to flax")
+                if pick_t:
+                    est = fb._attn_vmem_t(pick_t[0] * window * window, d,
+                                          pick_t[1], hd, 
+                                          1 if pick_t[1] == h else 2, xb)
+                    assert est * MARGIN <= LIMIT, (cfg_name, stage, est)
+                if pick_part:
+                    est = fb._attn_vmem_part(pick_part, window * window,
+                                             d, h, hd, xb)
+                    assert est * MARGIN <= LIMIT, (cfg_name, stage, est)
