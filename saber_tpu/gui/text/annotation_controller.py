@@ -98,9 +98,28 @@ class TextAnnotationController:
     def accept_mask(self, seg_id: int) -> None:
         """Track an accepted mask for the run (reference :176-201)."""
         run = self.current_run_id
-        accepted = self.accepted_masks.setdefault(run, [])
+        accepted = self.accepted_masks.setdefault(
+            run, self.dm.saved_accepted_ids(run))
         if seg_id not in accepted:
             accepted.append(seg_id)
+
+    def toggle_accept(self, seg_id: int) -> bool:
+        """Flip acceptance for a mask; returns the new state (reference
+        keyPressEvent 'a' on the selected segmentation)."""
+        run = self.current_run_id
+        accepted = self.accepted_masks.setdefault(
+            run, self.dm.saved_accepted_ids(run))
+        if seg_id in accepted:
+            accepted.remove(seg_id)
+            return False
+        accepted.append(seg_id)
+        return True
+
+    def accepted_for(self, run_id: Optional[str] = None) -> List[int]:
+        run = run_id or self.current_run_id
+        if run not in self.accepted_masks:
+            self.accepted_masks[run] = self.dm.saved_accepted_ids(run)
+        return list(self.accepted_masks[run])
 
     def _commit_pending(self) -> None:
         self.dm.save_text_to_memory(
@@ -111,5 +130,7 @@ class TextAnnotationController:
 
     def save_current_run_data(self) -> str:
         self._commit_pending()
-        self.dm.save_masks(self.current_run_id)   # user-drawn masks → zarr
-        return self.dm.save_run_annotations(self.current_run_id, self.hm)
+        run = self.current_run_id
+        # user-drawn masks + acceptance set → sidecar zarr
+        self.dm.save_masks(run, accepted=self.accepted_masks.get(run))
+        return self.dm.save_run_annotations(run, self.hm)

@@ -28,6 +28,16 @@ def circle_mask(shape: Tuple[int, int], cy: float, cx: float,
     return ((yy - cy) ** 2 + (xx - cx) ** 2) <= radius ** 2
 
 
+def mask_bbox(mask: np.ndarray) -> List[int]:
+    """[y0, x0, y1, x1] inclusive bounds of the mask's support, or
+    [0, 0, 0, 0] for an empty mask (reference data_manager._get_mask_bbox
+    — stored with each saved segmentation)."""
+    ys, xs = np.nonzero(np.asarray(mask) > 0)
+    if ys.size == 0:
+        return [0, 0, 0, 0]
+    return [int(ys.min()), int(xs.min()), int(ys.max()), int(xs.max())]
+
+
 class TextAnnotationDataManager:
     def __init__(self, zarr_path: str, save_path: Optional[str] = None):
         self.zarr_path = zarr_path
@@ -97,21 +107,80 @@ class TextAnnotationDataManager:
         arr = np.asarray(root[run_id]["masks"])
         return [arr[i] for i in range(arr.shape[0])]
 
-    def save_masks(self, run_id: str) -> Optional[str]:
+    def save_masks(self, run_id: str,
+                   accepted: Optional[List[int]] = None) -> Optional[str]:
         """Persist the run's user-drawn masks into the sidecar masks zarr
         (reference save_masks_to_zarr); merges with masks saved earlier.
+        Alongside the stack, each saved mask's metadata (description,
+        hashtags, bbox, area, combined seg id) goes into the run group's
+        attrs, and the run's accepted seg ids — candidates included — are
+        recorded (reference writes accepted/rejected groups with
+        description/hashtags/bbox/area attrs per segmentation).
         Returns the zarr path, or None if there is nothing to save."""
         session = self.user_masks.get(run_id, [])
-        if not session:
+        if not session and accepted is None:
             return None
         existing = self._load_saved_masks(run_id)
-        stack = np.stack([m.astype(np.uint8)
-                          for m in existing + session])
+        all_saved = existing + [np.asarray(m) for m in session]
         root = zarrlite.Group.create(self.masks_path)
         grp = root.require_group(run_id)
-        grp.create_dataset("masks", data=stack, overwrite=True)
+        if all_saved:
+            stack = np.stack([m.astype(np.uint8) for m in all_saved])
+            grp.create_dataset("masks", data=stack, overwrite=True)
+        # combined-stack seg ids are 1-based after the zarr candidates
+        _, cands = self.read_data(run_id)
+        n_base = cands.shape[0] if cands.ndim == 3 else int(cands.size > 0)
+        meta = []
+        for i, m in enumerate(all_saved):
+            seg_id = n_base + i + 1
+            text = self.get_segmentation_text(run_id, seg_id)
+            meta.append({
+                "segmentation_id": seg_id,
+                "description": text,
+                "hashtags": sorted(HashtagManager.extract_hashtags(text)),
+                "bbox": mask_bbox(m),
+                "area": int(np.sum(np.asarray(m) > 0)),
+            })
+        grp.attrs["segmentations"] = meta
+        if accepted is not None:
+            grp.attrs["accepted_ids"] = sorted(int(i) for i in accepted)
         self.user_masks[run_id] = []     # now part of the saved set
         return self.masks_path
+
+    def load_masks_with_descriptions(self, run_id: str) -> Dict[str, Any]:
+        """{'segmentation_<id>': {mask, description, hashtags, bbox, area,
+        segmentation_id}} for every saved user mask (reference
+        load_masks_with_descriptions — the training-data export surface)."""
+        saved = self._load_saved_masks(run_id)
+        if not saved:
+            return {}
+        grp = zarrlite.Group(self.masks_path)[run_id]
+        meta = grp.attrs.get("segmentations", [])
+        out: Dict[str, Any] = {}
+        for i, m in enumerate(saved):
+            info = meta[i] if i < len(meta) else {
+                "segmentation_id": i + 1, "description": "",
+                "hashtags": [], "bbox": mask_bbox(m),
+                "area": int(np.sum(m > 0))}
+            out[f"segmentation_{info['segmentation_id']}"] = {
+                "mask": m, **info}
+        return out
+
+    def saved_accepted_ids(self, run_id: str) -> List[int]:
+        if not os.path.exists(os.path.join(self.masks_path, ".zgroup")):
+            return []
+        root = zarrlite.Group(self.masks_path)
+        if run_id not in root:
+            return []
+        return list(root[run_id].attrs.get("accepted_ids", []))
+
+    def read_augmented_data(self, run_id: str
+                            ) -> Tuple[np.ndarray, np.ndarray, set]:
+        """(image, combined mask stack, accepted seg-id set) — the
+        viewer-reload surface (reference read_augmented_data: source
+        candidates + saved additions + the persisted acceptance set)."""
+        image, masks = self.read_with_session_fallback(run_id)
+        return image, masks, set(self.saved_accepted_ids(run_id))
 
     # -- in-memory text -----------------------------------------------------
 

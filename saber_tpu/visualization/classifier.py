@@ -203,3 +203,50 @@ def masks_to_3d_array(masks: List[dict]) -> np.ndarray:
     if not masks:
         return np.zeros((0, 0, 0), bool)
     return np.stack([np.asarray(m["segmentation"], bool) for m in masks])
+
+
+# TAB10 cycle shared with the GUI overlays (reference get_colors:309-342)
+_MASK_COLORS = [(0.12, 0.47, 0.71), (1.0, 0.5, 0.05), (0.17, 0.63, 0.17),
+                (0.84, 0.15, 0.16), (0.58, 0.4, 0.74), (0.55, 0.34, 0.29),
+                (0.89, 0.47, 0.76), (0.5, 0.5, 0.5), (0.74, 0.74, 0.13),
+                (0.09, 0.75, 0.81)]
+
+
+def add_masks(masks: np.ndarray, ax, alpha: float = 0.6):
+    """Overlay a (N, H, W) mask stack on an axis, one cycled color per
+    mask (reference classifier.py add_masks:344-362)."""
+    from matplotlib.colors import ListedColormap
+    masks = np.asarray(masks)
+    for i in range(masks.shape[0]):
+        color = _MASK_COLORS[i % len(_MASK_COLORS)]
+        cmap = ListedColormap([(1, 1, 1, 0), color])
+        ax.imshow(masks[i] > 0, cmap=cmap, alpha=alpha,
+                  interpolation="nearest")
+    ax.axis("off")
+
+
+def display_masks(im: np.ndarray, masks: np.ndarray,
+                  masks2: Optional[np.ndarray] = None,
+                  title: Optional[str] = None,
+                  fname: Optional[str] = None):
+    """Side-by-side compare of two mask sets over the same grayscale
+    image — left shows ``masks2`` (e.g. before / ground truth), right
+    shows ``masks`` (reference classifier.py display_masks:365-383)."""
+    fig, ax = plt.subplots(1, 2, figsize=(10, 5))
+    for a in ax:
+        a.imshow(im, cmap="gray")
+        a.axis("off")
+    if masks2 is not None:
+        add_masks(masks2, ax[0])
+    add_masks(masks, ax[1])
+    if title is not None:
+        fig.suptitle(title, fontsize=14)
+    fig.tight_layout()
+    if fname is None and matplotlib.get_backend().lower() == "agg":
+        fname = "display_masks.png"
+    if fname:
+        fig.savefig(fname, dpi=110)
+        plt.close(fig)
+    else:
+        plt.show()
+    return fname

@@ -74,3 +74,59 @@ def display_prompt_prediction(image, mask, points=None, labels=None, box=None,
         plt.close(fig)
     else:
         plt.show()
+
+
+def plot_frame_scores(data: np.ndarray, curve: np.ndarray,
+                      fit_label: str = "fit",
+                      fname: Optional[str] = None) -> float:
+    """Object-score logits along z with the fitted presence curve and its
+    R² (reference visualization/sam2.py plot_frame_scores:5-28 — the
+    debug view of the thickness fit). Returns the R² so callers can gate
+    on fit quality without re-deriving it."""
+    data = np.asarray(data, np.float64)
+    curve = np.asarray(curve, np.float64)
+    ss_res = float(np.sum((data - curve) ** 2))
+    ss_tot = float(np.sum((data - data.mean()) ** 2))
+    r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+    fig, ax = plt.subplots(figsize=(6, 3.4))
+    ax.plot(data, label="object scores")
+    ax.plot(curve, "r--", label=f"{fit_label}, R²={r2:.3f}")
+    ax.set_xlim(0, len(data))
+    ax.set_xlabel("z-slice")
+    ax.set_ylabel("object score logits")
+    ax.grid(True)
+    ax.tick_params(direction="in", top=True, right=True)
+    ax.legend()
+    fig.tight_layout()
+    if fname or matplotlib.get_backend().lower() == "agg":
+        fig.savefig(fname or "frame_scores.png", dpi=110)
+        plt.close(fig)
+    else:
+        plt.show()
+    return r2
+
+
+def show_anns(anns, ax=None, borders: bool = True, seed: int = 0):
+    """Composite AMG annotations, largest-area first so small masks stay
+    visible, random color per mask with boundary outlines (reference
+    visualization/sam2.py show_anns:131-161; boundaries via the repo's
+    pure-numpy contour extractor instead of OpenCV)."""
+    if len(anns) == 0:
+        return None
+    from saber_tpu.gui.base.annotation_session import mask_boundary
+    anns = sorted(anns, key=lambda a: a["area"], reverse=True)
+    h, w = np.asarray(anns[0]["segmentation"]).shape[:2]
+    img = np.zeros((h, w, 4), np.float32)
+    rng = np.random.default_rng(seed)
+    for ann in anns:
+        m = np.asarray(ann["segmentation"], bool)
+        img[m] = np.concatenate([rng.random(3), [0.5]]).astype(np.float32)
+        if borders:
+            pts = mask_boundary(m)
+            if pts is not None:
+                img[pts[:, 0], pts[:, 1]] = (0, 0, 1, 0.8)
+    if ax is None:
+        ax = plt.gca()
+    ax.set_autoscale_on(False)
+    ax.imshow(img)
+    return img

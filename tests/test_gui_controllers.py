@@ -518,3 +518,82 @@ class TestVisualizationHelpers:
                 zfile, ["run1"], adapter, 0, level=level,
                 fname=str(tmp_path / f"{level}.png"))
             assert (tmp_path / f"{level}.png").exists()
+
+
+class TestCircleDrawAndStructuredSave:
+    """Round-5 text-GUI depth: drag-to-size circle draw state machine,
+    structured mask save (description/hashtags/bbox/area attrs),
+    acceptance persistence (reference gui/text/segmentation_viewer.py
+    :43-80,565-622 and data_manager.py:313-388)."""
+
+    @pytest.fixture
+    def zarr_runs(self, tmp_path):
+        root = zarrlite.Group.create(str(tmp_path / "cands.zarr"))
+        for run in ("run_a", "run_b"):
+            grp = root.require_group(run)
+            grp.create_dataset("0", data=np.zeros((16, 16), np.float32))
+            labels = grp.require_group("labels")
+            stack = np.zeros((2, 16, 16), np.uint8)
+            stack[0, :4, :4] = 1
+            stack[1, 8:12, 8:12] = 1
+            labels.create_dataset("0", data=stack)
+        return str(tmp_path / "cands.zarr")
+
+    def test_draw_tool_protocol(self):
+        from saber_tpu.gui.text.draw_tool import CircleDrawTool
+        t = CircleDrawTool((16, 16))
+        # out-of-bounds press never activates
+        assert not t.start(-1, 5) and not t.active
+        assert t.update(8, 8) is None and t.finish(8, 8) is None
+        # drag from center out to radius 4
+        assert t.start(8, 8) and t.active
+        cy, cx, r = t.update(8, 11)
+        assert (cy, cx) == (8.0, 8.0) and r == 3.0
+        mask = t.finish(8, 12)
+        assert mask is not None and not t.active
+        assert mask[8, 8] and mask[8, 12] and not mask[8, 13]
+        # sub-minimum drag commits nothing
+        t.start(4, 4)
+        assert t.finish(4, 5) is None
+        # cancel aborts an active drag
+        t.start(4, 4)
+        t.cancel()
+        assert t.finish(4, 12) is None
+
+    def test_structured_save_and_load_with_descriptions(self, zarr_runs):
+        from saber_tpu.gui.text.annotation_controller import \
+            TextAnnotationController
+        from saber_tpu.gui.text.data_manager import (
+            TextAnnotationDataManager, circle_mask, mask_bbox)
+        ctrl = TextAnnotationController(TextAnnotationDataManager(zarr_runs))
+        m = circle_mask((16, 16), 4, 12, 2)
+        seg_id = ctrl.add_drawn_mask(m)         # -> seg 3 after 2 cands
+        ctrl.on_text_changed(seg_text="drawn #vesicle")
+        ctrl.accept_mask(1)
+        ctrl.toggle_accept(seg_id)
+        ctrl.save_current_run_data()
+
+        dm2 = TextAnnotationDataManager(zarr_runs)
+        info = dm2.load_masks_with_descriptions("run_a")
+        assert set(info) == {"segmentation_3"}
+        rec = info["segmentation_3"]
+        assert rec["description"] == "drawn #vesicle"
+        assert rec["hashtags"] == ["#vesicle"]
+        assert rec["area"] == int(m.sum())
+        assert rec["bbox"] == mask_bbox(m)
+        assert np.array_equal(rec["mask"] > 0, m)
+        # acceptance round-trips through the sidecar
+        assert dm2.saved_accepted_ids("run_a") == [1, 3]
+        _, masks, accepted = dm2.read_augmented_data("run_a")
+        assert masks.shape[0] == 3 and accepted == {1, 3}
+        # a fresh controller seeds its acceptance from the saved set
+        ctrl2 = TextAnnotationController(dm2)
+        assert ctrl2.accepted_for("run_a") == [1, 3]
+        assert ctrl2.toggle_accept(1) is False   # un-accept
+        assert ctrl2.accepted_for("run_a") == [3]
+
+    def test_mask_bbox_empty(self):
+        from saber_tpu.gui.text.data_manager import mask_bbox
+        assert mask_bbox(np.zeros((8, 8))) == [0, 0, 0, 0]
+        m = np.zeros((8, 8)); m[2:5, 3:7] = 1
+        assert mask_bbox(m) == [2, 3, 4, 6]

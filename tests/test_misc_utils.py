@@ -94,3 +94,34 @@ def test_presence_fit_plot(tmp_path, monkeypatch):
     display_prompt_prediction(img, img > 0.5, points=[[5, 5]], labels=[1],
                               box=[2, 2, 20, 20], fname="pp.png")
     assert os.path.exists("pp.png")
+
+
+def test_frame_scores_anns_and_mask_compare(tmp_path, monkeypatch):
+    """Round-5 viz parity: plot_frame_scores R², show_anns composite,
+    display_masks two-set compare (reference visualization/sam2.py:5-28,
+    131-161; classifier.py:344-383)."""
+    monkeypatch.chdir(tmp_path)
+    from saber_tpu.visualization.classifier import display_masks
+    from saber_tpu.visualization.sam2 import plot_frame_scores, show_anns
+
+    z = np.arange(40)
+    data = np.exp(-((z - 20.0) ** 2) / 30)
+    r2 = plot_frame_scores(data, data, fname="fs.png")
+    assert os.path.exists("fs.png") and r2 == 1.0
+    noisy = data + 0.5
+    assert plot_frame_scores(data, noisy, fname="fs2.png") < 1.0
+
+    m1 = np.zeros((24, 24), bool); m1[2:10, 2:10] = True
+    m2 = np.zeros((24, 24), bool); m2[4:8, 4:8] = True
+    anns = [{"segmentation": m2, "area": int(m2.sum())},
+            {"segmentation": m1, "area": int(m1.sum())}]
+    img = show_anns(anns, borders=True)
+    assert img.shape == (24, 24, 4)
+    # small mask painted after (over) the large one; borders marked blue
+    assert img[5, 5, 3] > 0 and img[2, 2, 3] > 0
+    assert show_anns([]) is None
+
+    im = np.random.default_rng(0).random((24, 24))
+    out = display_masks(im, np.stack([m1, m2]), masks2=np.stack([m2]),
+                        title="compare", fname="cmp.png")
+    assert out == "cmp.png" and os.path.exists("cmp.png")
