@@ -159,3 +159,50 @@ def train_slurm_cmd(train_zarr, val_zarr, model_name, shell_name, partition):
     path = create_shellsubmit("saber-train", "saber-train-%j.out", shell_name,
                               cmd, partition=partition)
     click.echo(f"wrote {path}")
+
+
+@classifier_routines.command(name="prep2d-slurm")
+@click.option("--input", required=True)
+@click.option("--output", default="training_data.zarr", show_default=True)
+@click.option("--sam2-cfg", default="small", show_default=True)
+@click.option("--scale-factor", default=1.0, show_default=True)
+@click.option("--min-mask-area", default=50, show_default=True)
+@click.option("--shell-name", default="submit_prep2d.sh", show_default=True)
+@click.option("--partition", default="tpu", show_default=True)
+def prep2d_slurm_cmd(input, output, sam2_cfg, scale_factor, min_mask_area,
+                     shell_name, partition):
+    """Generate an sbatch script for micrograph training-data prep
+    (reference classifier/preprocess/slurm.py
+    prepare_micrograph_training_slurm:5-47)."""
+    from saber_tpu.utils.slurm_submit import create_shellsubmit
+    cmd = (f"saber classifier prep2d --input {input} --output {output} "
+           f"--sam2-cfg {sam2_cfg} --scale-factor {scale_factor} "
+           f"--min-mask-area {min_mask_area}")
+    path = create_shellsubmit("saber-prep2d", "saber-prep2d-%j.out",
+                              shell_name, cmd, partition=partition)
+    click.echo(f"wrote {path}")
+
+
+@classifier_routines.command(name="prep3d-slurm")
+@click.option("--input", required=True)
+@click.option("--output", default="training_data.zarr", show_default=True)
+@click.option("--voxel-size", type=float, default=None)
+@click.option("--sam2-cfg", default="small", show_default=True)
+@click.option("--slab-thickness", default=10, show_default=True)
+@click.option("--min-mask-area", default=50, show_default=True)
+@click.option("--shell-name", default="submit_prep3d.sh", show_default=True)
+@click.option("--partition", default="tpu", show_default=True)
+def prep3d_slurm_cmd(input, output, voxel_size, sam2_cfg, slab_thickness,
+                     min_mask_area, shell_name, partition):
+    """Generate an sbatch script for tomogram training-data prep
+    (reference classifier/preprocess/slurm.py
+    prepare_tomogram_training_slurm:49-99)."""
+    from saber_tpu.utils.slurm_submit import create_shellsubmit
+    cmd = (f"saber classifier prep3d --input {input} --output {output} "
+           f"--sam2-cfg {sam2_cfg} --slab-thickness {slab_thickness} "
+           f"--min-mask-area {min_mask_area}")
+    if voxel_size is not None:
+        cmd += f" --voxel-size {voxel_size}"
+    path = create_shellsubmit("saber-prep3d", "saber-prep3d-%j.out",
+                              shell_name, cmd, partition=partition)
+    click.echo(f"wrote {path}")

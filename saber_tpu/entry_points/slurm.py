@@ -60,3 +60,33 @@ def micrographs_slurm(input, output, sam2_cfg, num_chips, partition, walltime,
                               cmd, partition=partition, num_chips=num_chips,
                               walltime=walltime)
     click.echo(f"wrote {path}; submit with: sbatch {path}")
+
+
+@click.command(name="refine-membranes")
+@click.option("--organelles", required=True, help="organelle zarr")
+@click.option("--membranes", required=True, help="membrane zarr")
+@click.option("--output", default="refined.zarr", show_default=True)
+@click.option("--ball-size", default=3, show_default=True)
+@click.option("--min-membrane-area", default=10000, show_default=True)
+@click.option("--keep-surface-membranes", is_flag=True)
+@click.option("--num-chips", default=8, show_default=True)
+@click.option("--partition", default="tpu", show_default=True)
+@click.option("--walltime", default="04:00:00", show_default=True)
+@click.option("--shell-name", default="submit_refine.sh", show_default=True)
+def refine_membranes_slurm(organelles, membranes, output, ball_size,
+                           min_membrane_area, keep_surface_membranes,
+                           num_chips, partition, walltime, shell_name):
+    """Generate an sbatch script for membrane refinement.
+
+    The reference declares this verb but its body is an empty stub
+    (reference saber/entry_points/slurm.py:83-89 — `pass`); here it
+    writes a working submission like the other slurm verbs (SURVEY §6b
+    policy: fix, don't replicate)."""
+    cmd = _passthrough_command("saber analysis refine-membranes", {
+        "organelles": organelles, "membranes": membranes, "output": output,
+        "ball_size": ball_size, "min_membrane_area": min_membrane_area,
+        "keep_surface_membranes": keep_surface_membranes})
+    path = create_shellsubmit("saber-refine", "saber-refine-%j.out",
+                              shell_name, cmd, partition=partition,
+                              num_chips=num_chips, walltime=walltime)
+    click.echo(f"wrote {path}; submit with: sbatch {path}")

@@ -66,11 +66,41 @@ def slurm_routines():
     """Generate SLURM submission scripts."""
 
 
-from saber_tpu.entry_points.slurm import micrographs_slurm, tomograms_slurm  # noqa: E402
+from saber_tpu.entry_points.slurm import (micrographs_slurm,  # noqa: E402
+                                          refine_membranes_slurm,
+                                          tomograms_slurm)
 
 slurm_routines.add_command(tomograms_slurm)
 slurm_routines.add_command(micrographs_slurm)
+slurm_routines.add_command(refine_membranes_slurm)
 routines.add_command(slurm_routines)
+
+
+@routines.command(name="sam2-weights")
+@click.option("--cfg", default="all", show_default=True,
+              help="one config name, or 'all'")
+def sam2_weights(cfg):
+    """Download SAM 2.1 checkpoints into the local cache (reference
+    pretrained_weights.py sam2_weights:10-12 / download_sam2_weights)."""
+    from saber_tpu.pretrained_weights import (SAM2_CHECKPOINTS,
+                                              get_sam2_checkpoint)
+    names = list(SAM2_CHECKPOINTS) if cfg == "all" else [cfg]
+    for name in names:
+        _, path = get_sam2_checkpoint(name, download=True)
+        click.echo(f"{name}: {path or 'UNAVAILABLE (no network?)'}")
+
+
+@routines.command(name="sam3-weights")
+def sam3_weights():
+    """Download the SAM3 checkpoint + CLIP BPE vocab (reference
+    pretrained_weights.py sam3_weights:15-18; the HF repo is gated —
+    set HF_TOKEN first)."""
+    from saber_tpu.pretrained_weights import (get_clip_bpe_path,
+                                              get_sam3_checkpoint)
+    ckpt = get_sam3_checkpoint(download=True)
+    bpe = get_clip_bpe_path(download=True)
+    click.echo(f"sam3 checkpoint: {ckpt or 'UNAVAILABLE (gated/no network)'}")
+    click.echo(f"clip bpe vocab:  {bpe or 'UNAVAILABLE (no network)'}")
 
 
 if __name__ == "__main__":

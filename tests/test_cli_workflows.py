@@ -379,3 +379,41 @@ class TestDualViewEndpoints:
             assert h0["hits"] == []
         finally:
             server.shutdown()
+
+
+def test_new_round5_verbs(cli, tmp_path, monkeypatch):
+    """Round-5 verb-parity sweep additions: weight downloads exposed as
+    CLI verbs (reference pretrained_weights.py:10-18), classifier prep
+    slurm verbs (reference classifier/preprocess/slurm.py), and a WORKING
+    refine-membranes slurm verb (the reference's is an empty stub,
+    entry_points/slurm.py:83-89)."""
+    monkeypatch.chdir(tmp_path)
+    runner = CliRunner()
+    out = runner.invoke(cli, ["--help"])
+    assert "sam2-weights" in out.output and "sam3-weights" in out.output
+    # offline: the verb must succeed and report unavailability, not crash
+    monkeypatch.setenv("SABER_CHECKPOINT_DIR", str(tmp_path / "ckpts"))
+    import socket
+
+    def _no_net(*a, **k):
+        raise OSError("no egress")
+    monkeypatch.setattr(socket, "getaddrinfo", _no_net)
+    out = runner.invoke(cli, ["sam2-weights", "--cfg", "tiny"])
+    assert out.exit_code == 0 and "tiny" in out.output
+
+    out = runner.invoke(cli, ["classifier", "prep2d-slurm", "--input",
+                              "/data/m", "--shell-name", "p2.sh"])
+    assert out.exit_code == 0, out.output
+    assert "saber classifier prep2d" in open("p2.sh").read()
+    out = runner.invoke(cli, ["classifier", "prep3d-slurm", "--input",
+                              "/data/t", "--voxel-size", "10",
+                              "--shell-name", "p3.sh"])
+    assert out.exit_code == 0, out.output
+    s = open("p3.sh").read()
+    assert "saber classifier prep3d" in s and "--voxel-size 10" in s
+    out = runner.invoke(cli, ["slurm", "refine-membranes", "--organelles",
+                              "/data/o.zarr", "--membranes", "/data/m.zarr",
+                              "--shell-name", "rm.sh"])
+    assert out.exit_code == 0, out.output
+    s = open("rm.sh").read()
+    assert "saber analysis refine-membranes" in s and "#SBATCH" in s
