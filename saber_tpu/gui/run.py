@@ -26,7 +26,10 @@ def gui(input, text_mode):
     """Launch the Qt annotation GUI (requires PyQt5)."""
     try:
         if text_mode:
-            from saber_tpu.gui.text.zarr_text_gui import launch_text_gui as launch
+            # full text-annotation viewer: drag-draw, acceptance, widget
+            # panels (reference gui/text/zarr_text_gui.py text_gui:231)
+            from saber_tpu.gui.text.segmentation_viewer import \
+                launch_text_viewer as launch
         else:
             from saber_tpu.gui.base.zarr_gui import launch_gui as launch
     except ImportError as e:
