@@ -174,10 +174,11 @@ def prep2d_slurm_cmd(input, output, sam2_cfg, scale_factor, min_mask_area,
     """Generate an sbatch script for micrograph training-data prep
     (reference classifier/preprocess/slurm.py
     prepare_micrograph_training_slurm:5-47)."""
+    from saber_tpu.entry_points.slurm import _passthrough_command
     from saber_tpu.utils.slurm_submit import create_shellsubmit
-    cmd = (f"saber classifier prep2d --input {input} --output {output} "
-           f"--sam2-cfg {sam2_cfg} --scale-factor {scale_factor} "
-           f"--min-mask-area {min_mask_area}")
+    cmd = _passthrough_command("saber classifier prep2d", {
+        "input": input, "output": output, "sam2_cfg": sam2_cfg,
+        "scale_factor": scale_factor, "min_mask_area": min_mask_area})
     path = create_shellsubmit("saber-prep2d", "saber-prep2d-%j.out",
                               shell_name, cmd, partition=partition)
     click.echo(f"wrote {path}")
@@ -197,12 +198,12 @@ def prep3d_slurm_cmd(input, output, voxel_size, sam2_cfg, slab_thickness,
     """Generate an sbatch script for tomogram training-data prep
     (reference classifier/preprocess/slurm.py
     prepare_tomogram_training_slurm:49-99)."""
+    from saber_tpu.entry_points.slurm import _passthrough_command
     from saber_tpu.utils.slurm_submit import create_shellsubmit
-    cmd = (f"saber classifier prep3d --input {input} --output {output} "
-           f"--sam2-cfg {sam2_cfg} --slab-thickness {slab_thickness} "
-           f"--min-mask-area {min_mask_area}")
-    if voxel_size is not None:
-        cmd += f" --voxel-size {voxel_size}"
+    cmd = _passthrough_command("saber classifier prep3d", {
+        "input": input, "output": output, "sam2_cfg": sam2_cfg,
+        "slab_thickness": slab_thickness, "min_mask_area": min_mask_area,
+        "voxel_size": voxel_size})
     path = create_shellsubmit("saber-prep3d", "saber-prep3d-%j.out",
                               shell_name, cmd, partition=partition)
     click.echo(f"wrote {path}")

@@ -95,20 +95,22 @@ class TextAnnotationController:
                 out[int(seg_id)] = self.hm.get_hashtag_color(sorted(tags)[0])
         return out
 
+    def _accepted(self, run_id: str) -> List[int]:
+        """Seed-once acceptance list for a run (from the saved sidecar)."""
+        if run_id not in self.accepted_masks:
+            self.accepted_masks[run_id] = self.dm.saved_accepted_ids(run_id)
+        return self.accepted_masks[run_id]
+
     def accept_mask(self, seg_id: int) -> None:
         """Track an accepted mask for the run (reference :176-201)."""
-        run = self.current_run_id
-        accepted = self.accepted_masks.setdefault(
-            run, self.dm.saved_accepted_ids(run))
+        accepted = self._accepted(self.current_run_id)
         if seg_id not in accepted:
             accepted.append(seg_id)
 
     def toggle_accept(self, seg_id: int) -> bool:
         """Flip acceptance for a mask; returns the new state (reference
         keyPressEvent 'a' on the selected segmentation)."""
-        run = self.current_run_id
-        accepted = self.accepted_masks.setdefault(
-            run, self.dm.saved_accepted_ids(run))
+        accepted = self._accepted(self.current_run_id)
         if seg_id in accepted:
             accepted.remove(seg_id)
             return False
@@ -116,10 +118,7 @@ class TextAnnotationController:
         return True
 
     def accepted_for(self, run_id: Optional[str] = None) -> List[int]:
-        run = run_id or self.current_run_id
-        if run not in self.accepted_masks:
-            self.accepted_masks[run] = self.dm.saved_accepted_ids(run)
-        return list(self.accepted_masks[run])
+        return list(self._accepted(run_id or self.current_run_id))
 
     def _commit_pending(self) -> None:
         self.dm.save_text_to_memory(
@@ -131,6 +130,13 @@ class TextAnnotationController:
     def save_current_run_data(self) -> str:
         self._commit_pending()
         run = self.current_run_id
-        # user-drawn masks + acceptance set → sidecar zarr
-        self.dm.save_masks(run, accepted=self.accepted_masks.get(run))
+        # user-drawn masks + acceptance set → sidecar zarr. Only pass the
+        # acceptance list when it actually changed: view-only navigation
+        # (which seeds accepted_masks via accepted_for) must not rewrite
+        # the sidecar or its per-mask metadata.
+        acc = self.accepted_masks.get(run)
+        if acc is not None and sorted(acc) == sorted(
+                self.dm.saved_accepted_ids(run)):
+            acc = None
+        self.dm.save_masks(run, accepted=acc)
         return self.dm.save_run_annotations(run, self.hm)

@@ -156,10 +156,14 @@ class TextAnnotationDataManager:
             return {}
         grp = zarrlite.Group(self.masks_path)[run_id]
         meta = grp.attrs.get("segmentations", [])
+        _, cands = self.read_data(run_id)
+        n_base = cands.shape[0] if cands.ndim == 3 else int(cands.size > 0)
         out: Dict[str, Any] = {}
         for i, m in enumerate(saved):
+            # fallback (pre-metadata sidecars): reconstruct the
+            # combined-stack id the descriptions/acceptance are keyed by
             info = meta[i] if i < len(meta) else {
-                "segmentation_id": i + 1, "description": "",
+                "segmentation_id": n_base + i + 1, "description": "",
                 "hashtags": [], "bbox": mask_bbox(m),
                 "area": int(np.sum(m > 0))}
             out[f"segmentation_{info['segmentation_id']}"] = {

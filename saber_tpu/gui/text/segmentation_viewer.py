@@ -24,8 +24,7 @@ except ImportError as e:  # pragma: no cover
         "(pip install saber-tpu[gui])") from e
 
 from saber_tpu.gui.base.annotation_session import (HighlightState,
-                                                   build_palette_lut,
-                                                   prepare_label_volume)
+                                                   build_palette_lut)
 from saber_tpu.gui.text.annotation_controller import TextAnnotationController
 from saber_tpu.gui.text.data_manager import TextAnnotationDataManager
 from saber_tpu.gui.text.draw_tool import CircleDrawTool
@@ -99,15 +98,31 @@ class TextSegmentationViewer(QtWidgets.QMainWindow):  # pragma: no cover
     # -- data flow -----------------------------------------------------------
 
     def _load(self, run_id: str):
-        state = self.ctrl.on_image_selected(run_id)
+        self._apply(self.ctrl.on_image_selected(run_id))
+
+    def _step(self, delta: int):
+        self._apply(self.ctrl.step_run(delta))
+        self.run_list.setCurrentRow(self.ctrl.run_idx)
+
+    def _apply(self, state):
+        run_id = state["run_id"]
         # session fallback keeps unsaved drawn masks visible across run
         # switches; accepted ids come back from the saved sidecar
         image, masks, _ = self.ctrl.dm.read_augmented_data(run_id)
         if image.ndim == 3:
             image = image[image.shape[0] // 2]
-        self.labels, self.max_label = prepare_label_volume(masks)
-        if self.labels.ndim == 3:
-            self.labels = self.labels[self.labels.shape[0] // 2]
+        # the combined stack is always per-candidate masks (never a z
+        # label volume here), and id-valued uint8/uint16 planes from
+        # masks_to_array must map to their 1-based STACK position — so
+        # compose the label map explicitly rather than via
+        # prepare_label_volume's integer pass-through branch
+        masks = np.asarray(masks)
+        if masks.ndim == 2:
+            masks = masks[None]
+        self.labels = np.zeros(masks.shape[-2:], np.int32)
+        for i in range(masks.shape[0]):        # later masks paint over
+            self.labels[masks[i] > 0] = i + 1
+        self.max_label = masks.shape[0]
         self.draw = CircleDrawTool(self.labels.shape)
         self.highlight = HighlightState()
         self.img_item.setImage(np.asarray(image), autoLevels=True)
@@ -116,11 +131,6 @@ class TextSegmentationViewer(QtWidgets.QMainWindow):  # pragma: no cover
         self.global_panel.set_text(state["global_text"])
         self.seg_panel.clear_selection()
         self._refresh_tags(state["hashtags"])
-
-    def _step(self, delta: int):
-        idx = (self.ctrl.run_idx + delta) % len(self.ctrl.dm.run_ids)
-        self._load(self.ctrl.dm.run_ids[idx])
-        self.run_list.setCurrentRow(idx)
 
     def _refresh_tags(self, tags):
         self.tag_panel.set_tags(sorted(tags),
@@ -145,6 +155,10 @@ class TextSegmentationViewer(QtWidgets.QMainWindow):  # pragma: no cover
     # -- interactions --------------------------------------------------------
 
     def _clicked(self, ev):
+        # selection is left-click only; an aborted right-button draw
+        # (press+release without movement) must not change the selection
+        if hasattr(ev, "button") and ev.button() != QtCore.Qt.LeftButton:
+            return
         pos = ev.pos()
         y, x = int(pos.y()), int(pos.x())
         if not (0 <= y < self.labels.shape[0]

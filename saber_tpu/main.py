@@ -84,6 +84,10 @@ def sam2_weights(cfg):
     pretrained_weights.py sam2_weights:10-12 / download_sam2_weights)."""
     from saber_tpu.pretrained_weights import (SAM2_CHECKPOINTS,
                                               get_sam2_checkpoint)
+    if cfg != "all" and cfg not in SAM2_CHECKPOINTS:
+        raise click.BadParameter(
+            f"unknown SAM2 config '{cfg}' — choose from "
+            f"{', '.join(SAM2_CHECKPOINTS)} or 'all'", param_hint="--cfg")
     names = list(SAM2_CHECKPOINTS) if cfg == "all" else [cfg]
     for name in names:
         _, path = get_sam2_checkpoint(name, download=True)

@@ -417,3 +417,17 @@ def test_new_round5_verbs(cli, tmp_path, monkeypatch):
     assert out.exit_code == 0, out.output
     s = open("rm.sh").read()
     assert "saber analysis refine-membranes" in s and "#SBATCH" in s
+
+
+def test_round5_verb_edge_cases(cli, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    runner = CliRunner()
+    # unknown cfg -> clean CLI error, not a traceback
+    out = runner.invoke(cli, ["sam2-weights", "--cfg", "medium"])
+    assert out.exit_code != 0 and "unknown SAM2 config" in out.output
+    assert "Traceback" not in out.output
+    # paths with spaces survive into the sbatch script
+    out = runner.invoke(cli, ["classifier", "prep2d-slurm", "--input",
+                              "/data/my data.zarr", "--shell-name", "q.sh"])
+    assert out.exit_code == 0, out.output
+    assert "'/data/my data.zarr'" in open("q.sh").read()

@@ -597,3 +597,36 @@ class TestCircleDrawAndStructuredSave:
         assert mask_bbox(np.zeros((8, 8))) == [0, 0, 0, 0]
         m = np.zeros((8, 8)); m[2:5, 3:7] = 1
         assert mask_bbox(m) == [2, 3, 4, 6]
+
+    def test_view_only_navigation_does_not_write_sidecar(self, zarr_runs):
+        """Browsing runs (which seeds acceptance state via accepted_for)
+        must not create or rewrite the sidecar masks zarr."""
+        import os
+
+        from saber_tpu.gui.text.annotation_controller import \
+            TextAnnotationController
+        from saber_tpu.gui.text.data_manager import TextAnnotationDataManager
+        ctrl = TextAnnotationController(TextAnnotationDataManager(zarr_runs))
+        ctrl.accepted_for()                       # overlay refresh seeds
+        ctrl.on_image_selected("run_b")           # commits run_a
+        ctrl.accepted_for()
+        ctrl.on_image_selected("run_a")
+        ctrl.save_current_run_data()
+        assert not os.path.exists(ctrl.dm.masks_path)
+        # an actual acceptance change DOES persist
+        ctrl.accept_mask(2)
+        ctrl.save_current_run_data()
+        assert ctrl.dm.saved_accepted_ids("run_a") == [2]
+
+    def test_load_descriptions_fallback_uses_combined_ids(self, zarr_runs):
+        """Pre-metadata sidecars (no 'segmentations' attr) fall back to
+        combined-stack ids, not position ids."""
+        from saber_tpu.gui.text.data_manager import (
+            TextAnnotationDataManager, circle_mask)
+        dm = TextAnnotationDataManager(zarr_runs)
+        root = zarrlite.Group.create(dm.masks_path)
+        grp = root.require_group("run_a")
+        m = circle_mask((16, 16), 8, 8, 3).astype(np.uint8)
+        grp.create_dataset("masks", data=m[None])
+        info = dm.load_masks_with_descriptions("run_a")
+        assert set(info) == {"segmentation_3"}    # 2 candidates + 1
