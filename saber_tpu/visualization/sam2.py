@@ -130,3 +130,38 @@ def show_anns(anns, ax=None, borders: bool = True, seed: int = 0):
     ax.set_autoscale_on(False)
     ax.imshow(img)
     return img
+
+
+def show_masks(image, masks, scores, points=None, labels=None, box=None,
+               borders: bool = True, fname_prefix: Optional[str] = None):
+    """One figure per (mask, score) with optional prompt overlays
+    (reference visualization/sam2.py show_masks:103-129). Returns the
+    list of written paths in headless mode."""
+    paths = []
+    for i, (mask, score) in enumerate(zip(masks, scores)):
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.imshow(image, cmap="gray" if np.asarray(image).ndim == 2
+                  else None)
+        show_mask(ax, np.asarray(mask), alpha=0.5)
+        if borders:
+            from saber_tpu.gui.base.annotation_session import mask_boundary
+            pts = mask_boundary(np.asarray(mask) > 0)
+            if pts is not None:
+                ax.scatter(pts[:, 1], pts[:, 0], s=1, c="white")
+        if points is not None:
+            show_points(ax, points, labels if labels is not None
+                        else np.ones(len(np.atleast_2d(points))))
+        if box is not None:
+            show_box(ax, box)
+        if len(list(scores)) > 1:
+            ax.set_title(f"Mask {i + 1}, Score: {float(score):.3f}")
+        ax.axis("off")
+        fig.tight_layout()
+        if fname_prefix or matplotlib.get_backend().lower() == "agg":
+            p = f"{fname_prefix or 'mask'}_{i}.png"
+            fig.savefig(p, dpi=110)
+            plt.close(fig)
+            paths.append(p)
+        else:
+            plt.show()
+    return paths

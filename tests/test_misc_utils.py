@@ -125,3 +125,12 @@ def test_frame_scores_anns_and_mask_compare(tmp_path, monkeypatch):
     out = display_masks(im, np.stack([m1, m2]), masks2=np.stack([m2]),
                         title="compare", fname="cmp.png")
     assert out == "cmp.png" and os.path.exists("cmp.png")
+
+
+def test_show_masks_per_mask_figures(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from saber_tpu.visualization.sam2 import show_masks
+    img = np.random.default_rng(0).random((24, 24))
+    m = np.zeros((24, 24), bool); m[4:12, 4:12] = True
+    paths = show_masks(img, [m], [0.9], fname_prefix="s")
+    assert paths == ["s_0.png"] and os.path.exists("s_0.png")
