@@ -28,6 +28,39 @@ def circle_mask(shape: Tuple[int, int], cy: float, cx: float,
     return ((yy - cy) ** 2 + (xx - cx) ** 2) <= radius ** 2
 
 
+def _normalize_text_payload(payload: Dict[str, Any]) -> Dict[str, Any]:
+    """Accept either on-disk text-annotation schema and return the
+    in-memory form ``{run: {global_text, segmentations:{seg_id: text}}}``.
+
+    The shared sidecar (``*_text_annotations.json``) is written in the
+    WEB schema — ``{run: {"<stack_idx>": {text, hashtags},
+    "global": {...}}}`` — by the web GUI (/api/annotate_text), the
+    simple TextAnnotator, and this manager, so all three frontends
+    interoperate. Stack indices are 0-based; the manager's seg ids are
+    the 1-based combined-stack ids, hence the ±1 here. Legacy
+    manager-schema files ({"global_text", "segmentations"}) still load.
+    """
+    out: Dict[str, Any] = {}
+    for run, d in payload.items():
+        if not isinstance(d, dict):
+            continue
+        if "global_text" in d or "segmentations" in d:
+            out[run] = {
+                "global_text": d.get("global_text", ""),
+                "segmentations": {str(k): v for k, v in
+                                  d.get("segmentations", {}).items()}}
+            continue
+        gt, segs = "", {}
+        for k, v in d.items():
+            text = v.get("text", "") if isinstance(v, dict) else str(v)
+            if k == "global":
+                gt = text
+            elif k.lstrip("-").isdigit():
+                segs[str(int(k) + 1)] = text
+        out[run] = {"global_text": gt, "segmentations": segs}
+    return out
+
+
 def mask_bbox(mask: np.ndarray) -> List[int]:
     """[y0, x0, y1, x1] inclusive bounds of the mask's support, or
     [0, 0, 0, 0] for an empty mask (reference data_manager._get_mask_bbox
@@ -54,7 +87,9 @@ class TextAnnotationDataManager:
         self.masks_path = os.path.splitext(self.save_path)[0] + "_masks.zarr"
         if os.path.exists(self.save_path):
             with open(self.save_path) as f:
-                self.text_data = json.load(f)
+                payload = json.load(f)
+            payload.pop("_hashtags", None)
+            self.text_data = _normalize_text_payload(payload)
 
     # -- zarr reads ---------------------------------------------------------
 
@@ -225,10 +260,34 @@ class TextAnnotationDataManager:
 
     def save_run_annotations(self, run_id: str,
                              hashtag_manager: HashtagManager) -> str:
-        """Persist all text + hashtags to JSON (reference :236-292)."""
+        """Persist all text + hashtags to JSON (reference :236-292), in
+        the WEB schema shared with /api/annotate_text and the simple
+        TextAnnotator (see _normalize_text_payload). Web-side entries
+        for runs this session never touched are preserved verbatim."""
         self.load_run_annotations(run_id, hashtag_manager)
-        payload = dict(self.text_data)
-        payload.setdefault("_hashtags", {})
+        payload: Dict[str, Any] = {}
+        if os.path.exists(self.save_path):     # keep foreign runs intact
+            with open(self.save_path) as f:
+                payload = json.load(f)
+        for run, d in self.text_data.items():
+            entry: Dict[str, Any] = {}
+            if d.get("global_text"):
+                gt = d["global_text"]
+                entry["global"] = {
+                    "text": gt,
+                    "hashtags": sorted(
+                        HashtagManager.extract_hashtags(gt))}
+            for sid, text in d.get("segmentations", {}).items():
+                if not text:
+                    continue
+                entry[str(int(sid) - 1)] = {
+                    "text": text,
+                    "hashtags": sorted(
+                        HashtagManager.extract_hashtags(text))}
+            if entry:
+                payload[run] = entry
+            else:
+                payload.pop(run, None)
         payload["_hashtags"] = hashtag_manager.get_data_for_save()
         with open(self.save_path, "w") as f:
             json.dump(payload, f, indent=1)
@@ -240,4 +299,4 @@ class TextAnnotationDataManager:
         with open(self.save_path) as f:
             payload = json.load(f)
         hashtag_manager.load_data_from_save(payload.pop("_hashtags", {}))
-        self.text_data = payload
+        self.text_data = _normalize_text_payload(payload)

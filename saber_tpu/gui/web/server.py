@@ -469,12 +469,17 @@ class AnnotationApp:
         return {"ok": True, "run": run, "index": idx, "hashtags": hashtags}
 
     def hashtags(self):
-        """Global hashtag frequency (reference hashtag_manager.py)."""
+        """Global hashtag frequency (reference hashtag_manager.py).
+        ``_``-prefixed keys are sidecar metadata (the Qt manager's
+        ``_hashtags`` color map), not runs."""
         counts: Dict[str, int] = {}
-        for run_ann in self.text_annotations().values():
+        for run, run_ann in self.text_annotations().items():
+            if run.startswith("_") or not isinstance(run_ann, dict):
+                continue
             for entry in run_ann.values():
-                for tag in entry.get("hashtags", []):
-                    counts[tag] = counts.get(tag, 0) + 1
+                if isinstance(entry, dict):
+                    for tag in entry.get("hashtags", []):
+                        counts[tag] = counts.get(tag, 0) + 1
         return counts
 
     def classes(self):

@@ -630,3 +630,48 @@ class TestCircleDrawAndStructuredSave:
         grp.create_dataset("masks", data=m[None])
         info = dm.load_masks_with_descriptions("run_a")
         assert set(info) == {"segmentation_3"}    # 2 candidates + 1
+
+    def test_shared_sidecar_interop_with_web_schema(self, zarr_runs, tmp_path):
+        """All three text frontends share one sidecar schema
+        (gui/web/server.py annotate_text, gui/text/zarr_text_gui.py,
+        and the rich manager): web writes 0-based stack indices, the
+        manager's 1-based combined ids map onto them, and run-level text
+        lives under the reserved 'global' slot."""
+        import json
+        import os
+
+        from saber_tpu.gui.text.annotation_controller import \
+            TextAnnotationController
+        from saber_tpu.gui.text.data_manager import TextAnnotationDataManager
+
+        # a web-GUI-written sidecar pre-exists
+        side = os.path.splitext(zarr_runs)[0] + "_text_annotations.json"
+        with open(side, "w") as f:
+            json.dump({"run_b": {"0": {"text": "web says #lyso",
+                                       "hashtags": ["#lyso"]}}}, f)
+        ctrl = TextAnnotationController(TextAnnotationDataManager(zarr_runs))
+        # web's stack index 0 == manager seg id 1
+        assert ctrl.dm.get_segmentation_text("run_b", 1) == "web says #lyso"
+
+        ctrl.on_image_selected("run_a")
+        ctrl.on_text_changed(global_text="run-level #mito")
+        ctrl.select_segmentation(2)
+        ctrl.on_text_changed(seg_text="second mask #ribo")
+        ctrl.save_current_run_data()
+
+        saved = json.load(open(side))
+        # manager writes the web schema; untouched web runs preserved
+        assert saved["run_a"]["global"]["text"] == "run-level #mito"
+        assert saved["run_a"]["1"]["hashtags"] == ["#ribo"]
+        assert saved["run_b"]["0"]["text"] == "web says #lyso"
+        # the web server counts hashtags from the same file, ignoring the
+        # manager's _hashtags metadata
+        from saber_tpu.gui.web.server import AnnotationApp
+        app = AnnotationApp(zarr_runs)
+        counts = app.hashtags()
+        assert counts == {"#mito": 1, "#ribo": 1, "#lyso": 1}
+        # and a fresh manager round-trips its own save
+        ctrl2 = TextAnnotationController(TextAnnotationDataManager(zarr_runs))
+        st = ctrl2.on_image_selected("run_a")
+        assert st["global_text"] == "run-level #mito"
+        assert ctrl2.dm.get_segmentation_text("run_a", 2) == "second mask #ribo"
