@@ -85,6 +85,10 @@ class TextAnnotationDataManager:
         # read_with_session_fallback)
         self.user_masks: Dict[str, List[np.ndarray]] = {}
         self.masks_path = os.path.splitext(self.save_path)[0] + "_masks.zarr"
+        # runs whose text actually changed this session: only these are
+        # re-serialized on save, so entries written by the other
+        # frontends (manual hashtags included) survive untouched
+        self._dirty: set = set()
         if os.path.exists(self.save_path):
             with open(self.save_path) as f:
                 payload = json.load(f)
@@ -137,10 +141,20 @@ class TextAnnotationDataManager:
         if not os.path.exists(os.path.join(self.masks_path, ".zgroup")):
             return []
         root = zarrlite.Group(self.masks_path)
-        if run_id not in root:
+        if run_id not in root or "masks" not in root[run_id]:
+            # acceptance-only saves create the run group with attrs but
+            # no masks dataset — that is a valid state
             return []
         arr = np.asarray(root[run_id]["masks"])
         return [arr[i] for i in range(arr.shape[0])]
+
+    def _n_candidates(self, run_id: str) -> int:
+        """Candidate count from zarr metadata only (no chunk reads)."""
+        grp = self.root[run_id]
+        if "labels" in grp and "0" in grp["labels"]:
+            shape = grp["labels"]["0"].shape
+            return shape[0] if len(shape) == 3 else int(np.prod(shape) > 0)
+        return 0
 
     def save_masks(self, run_id: str,
                    accepted: Optional[List[int]] = None) -> Optional[str]:
@@ -153,18 +167,20 @@ class TextAnnotationDataManager:
         description/hashtags/bbox/area attrs per segmentation).
         Returns the zarr path, or None if there is nothing to save."""
         session = self.user_masks.get(run_id, [])
-        if not session and accepted is None:
-            return None
         existing = self._load_saved_masks(run_id)
+        if not session and accepted is None and not existing:
+            return None                  # nothing saved, nothing to save
         all_saved = existing + [np.asarray(m) for m in session]
         root = zarrlite.Group.create(self.masks_path)
         grp = root.require_group(run_id)
-        if all_saved:
+        if session:
             stack = np.stack([m.astype(np.uint8) for m in all_saved])
             grp.create_dataset("masks", data=stack, overwrite=True)
-        # combined-stack seg ids are 1-based after the zarr candidates
-        _, cands = self.read_data(run_id)
-        n_base = cands.shape[0] if cands.ndim == 3 else int(cands.size > 0)
+        # combined-stack seg ids are 1-based after the zarr candidates.
+        # Meta is recomputed on EVERY save (descriptions typed after a
+        # mask was first saved must refresh the export metadata), but
+        # only written when it differs — view-only saves stay no-ops.
+        n_base = self._n_candidates(run_id)
         meta = []
         for i, m in enumerate(all_saved):
             seg_id = n_base + i + 1
@@ -176,9 +192,12 @@ class TextAnnotationDataManager:
                 "bbox": mask_bbox(m),
                 "area": int(np.sum(np.asarray(m) > 0)),
             })
-        grp.attrs["segmentations"] = meta
+        if meta != grp.attrs.get("segmentations"):
+            grp.attrs["segmentations"] = meta
         if accepted is not None:
-            grp.attrs["accepted_ids"] = sorted(int(i) for i in accepted)
+            acc = sorted(int(i) for i in accepted)
+            if acc != list(grp.attrs.get("accepted_ids", [])):
+                grp.attrs["accepted_ids"] = acc
         self.user_masks[run_id] = []     # now part of the saved set
         return self.masks_path
 
@@ -191,8 +210,7 @@ class TextAnnotationDataManager:
             return {}
         grp = zarrlite.Group(self.masks_path)[run_id]
         meta = grp.attrs.get("segmentations", [])
-        _, cands = self.read_data(run_id)
-        n_base = cands.shape[0] if cands.ndim == 3 else int(cands.size > 0)
+        n_base = self._n_candidates(run_id)
         out: Dict[str, Any] = {}
         for i, m in enumerate(saved):
             # fallback (pre-metadata sidecars): reconstruct the
@@ -231,9 +249,14 @@ class TextAnnotationDataManager:
                             selected_id: Optional[int] = None,
                             seg_text: str = "") -> None:
         r = self._run(run_id)
-        r["global_text"] = global_text
+        if r["global_text"] != global_text:
+            r["global_text"] = global_text
+            self._dirty.add(run_id)
         if selected_id is not None:
-            r["segmentations"][str(selected_id)] = seg_text
+            key = str(selected_id)
+            if r["segmentations"].get(key, "") != seg_text:
+                r["segmentations"][key] = seg_text
+                self._dirty.add(run_id)
 
     def get_global_text(self, run_id: str) -> str:
         return self._run(run_id).get("global_text", "")
@@ -266,28 +289,45 @@ class TextAnnotationDataManager:
         for runs this session never touched are preserved verbatim."""
         self.load_run_annotations(run_id, hashtag_manager)
         payload: Dict[str, Any] = {}
-        if os.path.exists(self.save_path):     # keep foreign runs intact
+        if os.path.exists(self.save_path):
             with open(self.save_path) as f:
                 payload = json.load(f)
-        for run, d in self.text_data.items():
-            entry: Dict[str, Any] = {}
-            if d.get("global_text"):
-                gt = d["global_text"]
-                entry["global"] = {
-                    "text": gt,
-                    "hashtags": sorted(
-                        HashtagManager.extract_hashtags(gt))}
-            for sid, text in d.get("segmentations", {}).items():
-                if not text:
-                    continue
-                entry[str(int(sid) - 1)] = {
-                    "text": text,
-                    "hashtags": sorted(
-                        HashtagManager.extract_hashtags(text))}
+
+        def merged_tags(new_text: str, old_entry) -> List[str]:
+            # manual hashtags (stored but not derivable from the old
+            # text, e.g. added via /api/annotate_text's hashtags field)
+            # survive a text edit; tags the user deleted from the text
+            # itself do not
+            tags = set(HashtagManager.extract_hashtags(new_text))
+            if isinstance(old_entry, dict):
+                old_text = old_entry.get("text", "")
+                manual = set(old_entry.get("hashtags", [])) - \
+                    HashtagManager.extract_hashtags(old_text)
+                tags |= manual
+            return sorted(tags)
+
+        # only runs edited THIS session are re-serialized; everything the
+        # other frontends wrote — runs, entries, manual hashtags — is
+        # preserved verbatim
+        for run in sorted(self._dirty):
+            d = self.text_data.get(run, {})
+            old = payload.get(run)
+            old = old if isinstance(old, dict) else {}
+            entry: Dict[str, Any] = dict(old)
+            items = [("global", d.get("global_text", ""))] + [
+                (str(int(sid) - 1), text)
+                for sid, text in d.get("segmentations", {}).items()]
+            for key, text in items:
+                tags = merged_tags(text, old.get(key))
+                if text or tags:     # cleared text keeps manual-only tags
+                    entry[key] = {"text": text, "hashtags": tags}
+                else:
+                    entry.pop(key, None)
             if entry:
                 payload[run] = entry
             else:
                 payload.pop(run, None)
+        self._dirty.clear()
         payload["_hashtags"] = hashtag_manager.get_data_for_save()
         with open(self.save_path, "w") as f:
             json.dump(payload, f, indent=1)

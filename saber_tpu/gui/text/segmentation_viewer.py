@@ -24,7 +24,8 @@ except ImportError as e:  # pragma: no cover
         "(pip install saber-tpu[gui])") from e
 
 from saber_tpu.gui.base.annotation_session import (HighlightState,
-                                                   build_palette_lut)
+                                                   build_palette_lut,
+                                                   prepare_label_volume)
 from saber_tpu.gui.text.annotation_controller import TextAnnotationController
 from saber_tpu.gui.text.data_manager import TextAnnotationDataManager
 from saber_tpu.gui.text.draw_tool import CircleDrawTool
@@ -109,20 +110,23 @@ class TextSegmentationViewer(QtWidgets.QMainWindow):  # pragma: no cover
         # session fallback keeps unsaved drawn masks visible across run
         # switches; accepted ids come back from the saved sidecar
         image, masks, _ = self.ctrl.dm.read_augmented_data(run_id)
-        if image.ndim == 3:
-            image = image[image.shape[0] // 2]
-        # the combined stack is always per-candidate masks (never a z
-        # label volume here), and id-valued uint8/uint16 planes from
-        # masks_to_array must map to their 1-based STACK position — so
-        # compose the label map explicitly rather than via
-        # prepare_label_volume's integer pass-through branch
+        image = np.asarray(image)
         masks = np.asarray(masks)
         if masks.ndim == 2:
             masks = masks[None]
-        self.labels = np.zeros(masks.shape[-2:], np.int32)
-        for i in range(masks.shape[0]):        # later masks paint over
-            self.labels[masks[i] > 0] = i + 1
-        self.max_label = masks.shape[0]
+        if image.ndim == 3 and masks.shape == image.shape:
+            # z-aligned label volume (3D runs): mid-slice with the image
+            vol, self.max_label = prepare_label_volume(masks)
+            self.labels = np.asarray(vol[vol.shape[0] // 2])
+        else:
+            # per-candidate stack: force the binary-stack branch (>0) so
+            # id-valued uint8/uint16 planes from masks_to_array map to
+            # their 1-based STACK position, not their stored values
+            lab, _ = prepare_label_volume(masks > 0)
+            self.labels = np.asarray(lab)
+            self.max_label = masks.shape[0]
+        if image.ndim == 3:
+            image = image[image.shape[0] // 2]
         self.draw = CircleDrawTool(self.labels.shape)
         self.highlight = HighlightState()
         self.img_item.setImage(np.asarray(image), autoLevels=True)

@@ -205,11 +205,11 @@ def masks_to_3d_array(masks: List[dict]) -> np.ndarray:
     return np.stack([np.asarray(m["segmentation"], bool) for m in masks])
 
 
-# TAB10 cycle shared with the GUI overlays (reference get_colors:309-342)
-_MASK_COLORS = [(0.12, 0.47, 0.71), (1.0, 0.5, 0.05), (0.17, 0.63, 0.17),
-                (0.84, 0.15, 0.16), (0.58, 0.4, 0.74), (0.55, 0.34, 0.29),
-                (0.89, 0.47, 0.76), (0.5, 0.5, 0.5), (0.74, 0.74, 0.13),
-                (0.09, 0.75, 0.81)]
+def _mask_colors():
+    """TAB10 cycle, derived from the canonical GUI palette so overlays
+    can never drift from it (reference get_colors:309-342)."""
+    from saber_tpu.gui.base.annotation_session import TAB10
+    return [tuple(c) for c in np.asarray(TAB10, np.float64) / 255.0]
 
 
 def add_masks(masks: np.ndarray, ax, alpha: float = 0.6):
@@ -217,8 +217,9 @@ def add_masks(masks: np.ndarray, ax, alpha: float = 0.6):
     mask (reference classifier.py add_masks:344-362)."""
     from matplotlib.colors import ListedColormap
     masks = np.asarray(masks)
+    colors = _mask_colors()
     for i in range(masks.shape[0]):
-        color = _MASK_COLORS[i % len(_MASK_COLORS)]
+        color = colors[i % len(colors)]
         cmap = ListedColormap([(1, 1, 1, 0), color])
         ax.imshow(masks[i] > 0, cmap=cmap, alpha=alpha,
                   interpolation="nearest")

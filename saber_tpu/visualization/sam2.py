@@ -138,6 +138,7 @@ def show_masks(image, masks, scores, points=None, labels=None, box=None,
     (reference visualization/sam2.py show_masks:103-129). Returns the
     list of written paths in headless mode."""
     paths = []
+    masks, scores = list(masks), list(scores)   # tolerate iterators
     for i, (mask, score) in enumerate(zip(masks, scores)):
         fig, ax = plt.subplots(figsize=(6, 6))
         ax.imshow(image, cmap="gray" if np.asarray(image).ndim == 2
@@ -153,7 +154,7 @@ def show_masks(image, masks, scores, points=None, labels=None, box=None,
                         else np.ones(len(np.atleast_2d(points))))
         if box is not None:
             show_box(ax, box)
-        if len(list(scores)) > 1:
+        if len(scores) > 1:
             ax.set_title(f"Mask {i + 1}, Score: {float(score):.3f}")
         ax.axis("off")
         fig.tight_layout()

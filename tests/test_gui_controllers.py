@@ -675,3 +675,65 @@ class TestCircleDrawAndStructuredSave:
         st = ctrl2.on_image_selected("run_a")
         assert st["global_text"] == "run-level #mito"
         assert ctrl2.dm.get_segmentation_text("run_a", 2) == "second mask #ribo"
+
+    def test_acceptance_only_save_then_reload(self, zarr_runs):
+        """Accepting a candidate without drawing (group with attrs but no
+        masks dataset) must not crash later loads."""
+        from saber_tpu.gui.text.annotation_controller import \
+            TextAnnotationController
+        from saber_tpu.gui.text.data_manager import TextAnnotationDataManager
+        ctrl = TextAnnotationController(TextAnnotationDataManager(zarr_runs))
+        ctrl.accept_mask(1)
+        ctrl.save_current_run_data()
+        dm2 = TextAnnotationDataManager(zarr_runs)
+        _, masks, accepted = dm2.read_augmented_data("run_a")   # no crash
+        assert masks.shape[0] == 2 and accepted == {1}
+        assert dm2.load_masks_with_descriptions("run_a") == {}
+
+    def test_save_preserves_foreign_manual_hashtags(self, zarr_runs):
+        """Saving from the Qt session must not rewrite runs (or manual
+        hashtags) other frontends wrote; editing an entry keeps its
+        manual-only tags."""
+        import json
+        import os
+
+        from saber_tpu.gui.text.annotation_controller import \
+            TextAnnotationController
+        from saber_tpu.gui.text.data_manager import TextAnnotationDataManager
+        side = os.path.splitext(zarr_runs)[0] + "_text_annotations.json"
+        with open(side, "w") as f:
+            json.dump({
+                "run_b": {"0": {"text": "a vesicle",
+                                "hashtags": ["#manual"]}},
+                "run_a": {"0": {"text": "old #mito",
+                                "hashtags": ["#mito", "#curated"]}}}, f)
+        ctrl = TextAnnotationController(TextAnnotationDataManager(zarr_runs))
+        ctrl.select_segmentation(1)
+        ctrl.on_text_changed(seg_text="new text #ribo")
+        ctrl.save_current_run_data()
+        saved = json.load(open(side))
+        # untouched run: preserved verbatim, manual tag intact
+        assert saved["run_b"]["0"]["hashtags"] == ["#manual"]
+        # edited entry: new extracted tag + surviving manual-only tag;
+        # the tag that only came from the OLD text is gone
+        assert saved["run_a"]["0"]["text"] == "new text #ribo"
+        assert saved["run_a"]["0"]["hashtags"] == ["#curated", "#ribo"]
+
+    def test_redescribing_saved_mask_refreshes_export(self, zarr_runs):
+        """Descriptions typed AFTER a mask was saved must reach the
+        sidecar metadata the training-data export reads."""
+        from saber_tpu.gui.text.annotation_controller import \
+            TextAnnotationController
+        from saber_tpu.gui.text.data_manager import (
+            TextAnnotationDataManager, circle_mask)
+        ctrl = TextAnnotationController(TextAnnotationDataManager(zarr_runs))
+        seg_id = ctrl.add_drawn_mask(circle_mask((16, 16), 8, 8, 3))
+        ctrl.save_current_run_data()             # saved with no text yet
+        ctrl.select_segmentation(seg_id)
+        ctrl.on_text_changed(seg_text="now described #vesicle")
+        ctrl.save_current_run_data()
+        info = TextAnnotationDataManager(zarr_runs) \
+            .load_masks_with_descriptions("run_a")
+        rec = info[f"segmentation_{seg_id}"]
+        assert rec["description"] == "now described #vesicle"
+        assert rec["hashtags"] == ["#vesicle"]
