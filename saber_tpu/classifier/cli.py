@@ -136,9 +136,10 @@ def info_cmd(input):
 def predict_slurm_cmd(input, model_config, output, shell_name, partition):
     """Generate an sbatch script for batch classifier prediction
     (reference inference.py:114-133)."""
-    from saber_tpu.utils.slurm_submit import create_shellsubmit
-    cmd = (f"saber classifier predict --input {input} "
-           f"--model-config {model_config} --output {output}")
+    from saber_tpu.utils.slurm_submit import (create_shellsubmit,
+                                              passthrough_command)
+    cmd = passthrough_command("saber classifier predict", {
+        "input": input, "model_config": model_config, "output": output})
     path = create_shellsubmit("saber-predict", "saber-predict-%j.out",
                               shell_name, cmd, partition=partition)
     click.echo(f"wrote {path}")
@@ -152,10 +153,11 @@ def predict_slurm_cmd(input, model_config, output, shell_name, partition):
 @click.option("--partition", default="tpu", show_default=True)
 def train_slurm_cmd(train_zarr, val_zarr, model_name, shell_name, partition):
     """Generate an sbatch script for classifier training."""
-    from saber_tpu.utils.slurm_submit import create_shellsubmit
-    cmd = f"saber classifier train --train-zarr {train_zarr} --model-name {model_name}"
-    if val_zarr:
-        cmd += f" --val-zarr {val_zarr}"
+    from saber_tpu.utils.slurm_submit import (create_shellsubmit,
+                                              passthrough_command)
+    cmd = passthrough_command("saber classifier train", {
+        "train_zarr": train_zarr, "model_name": model_name,
+        "val_zarr": val_zarr})
     path = create_shellsubmit("saber-train", "saber-train-%j.out", shell_name,
                               cmd, partition=partition)
     click.echo(f"wrote {path}")
@@ -174,9 +176,9 @@ def prep2d_slurm_cmd(input, output, sam2_cfg, scale_factor, min_mask_area,
     """Generate an sbatch script for micrograph training-data prep
     (reference classifier/preprocess/slurm.py
     prepare_micrograph_training_slurm:5-47)."""
-    from saber_tpu.entry_points.slurm import _passthrough_command
-    from saber_tpu.utils.slurm_submit import create_shellsubmit
-    cmd = _passthrough_command("saber classifier prep2d", {
+    from saber_tpu.utils.slurm_submit import (create_shellsubmit,
+                                              passthrough_command)
+    cmd = passthrough_command("saber classifier prep2d", {
         "input": input, "output": output, "sam2_cfg": sam2_cfg,
         "scale_factor": scale_factor, "min_mask_area": min_mask_area})
     path = create_shellsubmit("saber-prep2d", "saber-prep2d-%j.out",
@@ -198,9 +200,9 @@ def prep3d_slurm_cmd(input, output, voxel_size, sam2_cfg, slab_thickness,
     """Generate an sbatch script for tomogram training-data prep
     (reference classifier/preprocess/slurm.py
     prepare_tomogram_training_slurm:49-99)."""
-    from saber_tpu.entry_points.slurm import _passthrough_command
-    from saber_tpu.utils.slurm_submit import create_shellsubmit
-    cmd = _passthrough_command("saber classifier prep3d", {
+    from saber_tpu.utils.slurm_submit import (create_shellsubmit,
+                                              passthrough_command)
+    cmd = passthrough_command("saber classifier prep3d", {
         "input": input, "output": output, "sam2_cfg": sam2_cfg,
         "slab_thickness": slab_thickness, "min_mask_area": min_mask_area,
         "voxel_size": voxel_size})

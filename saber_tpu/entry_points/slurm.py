@@ -1,24 +1,14 @@
 """SLURM submission verbs (reference saber/entry_points/slurm.py:11-91):
 write an sbatch script wrapping the equivalent saber command."""
 
-import shlex
-
 import click
 
-from saber_tpu.utils.slurm_submit import create_shellsubmit
+from saber_tpu.utils.slurm_submit import (create_shellsubmit,
+                                          passthrough_command)
 
-
-def _passthrough_command(base: str, opts: dict) -> str:
-    parts = [base]
-    for k, v in opts.items():
-        if v is None or v is False:
-            continue
-        flag = "--" + k.replace("_", "-")
-        if v is True:
-            parts.append(flag)
-        else:
-            parts.append(f"{flag} {shlex.quote(str(v))}")
-    return " ".join(parts)
+# retained name for in-module use; the shared implementation lives in
+# utils/slurm_submit so every slurm verb quotes identically
+_passthrough_command = passthrough_command
 
 
 @click.command(name="tomograms")

@@ -28,17 +28,21 @@ def circle_mask(shape: Tuple[int, int], cy: float, cx: float,
     return ((yy - cy) ** 2 + (xx - cx) ** 2) <= radius ** 2
 
 
-def _normalize_text_payload(payload: Dict[str, Any]) -> Dict[str, Any]:
+def _normalize_text_payload(payload: Dict[str, Any],
+                            key_offset=lambda run: 1) -> Dict[str, Any]:
     """Accept either on-disk text-annotation schema and return the
     in-memory form ``{run: {global_text, segmentations:{seg_id: text}}}``.
 
     The shared sidecar (``*_text_annotations.json``) is written in the
-    WEB schema — ``{run: {"<stack_idx>": {text, hashtags},
-    "global": {...}}}`` — by the web GUI (/api/annotate_text), the
-    simple TextAnnotator, and this manager, so all three frontends
-    interoperate. Stack indices are 0-based; the manager's seg ids are
-    the 1-based combined-stack ids, hence the ±1 here. Legacy
-    manager-schema files ({"global_text", "segmentations"}) still load.
+    WEB schema — ``{run: {"<key>": {text, hashtags}, "global": {...}}}``
+    — by the web GUI (/api/annotate_text), the simple TextAnnotator, and
+    this manager, so all three frontends interoperate. For 2D candidate
+    stacks the web keys are 0-based stack indices while the manager's
+    seg ids are 1-based (``key_offset`` = +1); for 3D label volumes the
+    web keys BY LABEL VALUE (server _mask_entries by_value), which is
+    already the seg-id space (``key_offset`` = 0 — supplied per run by
+    the manager). Legacy manager-schema files
+    ({"global_text", "segmentations"}) still load.
     """
     out: Dict[str, Any] = {}
     for run, d in payload.items():
@@ -51,12 +55,13 @@ def _normalize_text_payload(payload: Dict[str, Any]) -> Dict[str, Any]:
                                   d.get("segmentations", {}).items()}}
             continue
         gt, segs = "", {}
+        off = key_offset(run)
         for k, v in d.items():
             text = v.get("text", "") if isinstance(v, dict) else str(v)
             if k == "global":
                 gt = text
             elif k.lstrip("-").isdigit():
-                segs[str(int(k) + 1)] = text
+                segs[str(int(k) + off)] = text
         out[run] = {"global_text": gt, "segmentations": segs}
     return out
 
@@ -93,7 +98,27 @@ class TextAnnotationDataManager:
             with open(self.save_path) as f:
                 payload = json.load(f)
             payload.pop("_hashtags", None)
-            self.text_data = _normalize_text_payload(payload)
+            self.text_data = _normalize_text_payload(payload,
+                                                     self._key_offset)
+
+    def _key_offset(self, run_id: str) -> int:
+        """Sidecar-key ↔ seg-id offset for a run: +1 for 2D candidate
+        stacks (web keys are 0-based stack indices), 0 for 3D label
+        volumes (web keys are label values — already seg ids)."""
+        return 0 if self.is_volume_run(run_id) else 1
+
+    def is_volume_run(self, run_id: str) -> bool:
+        """True when the run's labels are a z-aligned label VOLUME (same
+        shape as a 3D image) rather than a per-candidate stack — decided
+        from zarr metadata only."""
+        if run_id not in self.root:
+            return False
+        grp = self.root[run_id]
+        if "0" not in grp or "labels" not in grp or "0" not in grp["labels"]:
+            return False
+        ishape = tuple(grp["0"].shape)
+        return len(ishape) == 3 and tuple(
+            grp["labels"]["0"].shape) == ishape
 
     # -- zarr reads ---------------------------------------------------------
 
@@ -167,6 +192,11 @@ class TextAnnotationDataManager:
         description/hashtags/bbox/area attrs per segmentation).
         Returns the zarr path, or None if there is nothing to save."""
         session = self.user_masks.get(run_id, [])
+        if not session and accepted is None and run_id not in self._dirty:
+            # nothing new, no acceptance change, no text edits that could
+            # stale the metadata — skip the stack load entirely (this
+            # path fires on every run navigation)
+            return None
         existing = self._load_saved_masks(run_id)
         if not session and accepted is None and not existing:
             return None                  # nothing saved, nothing to save
@@ -313,9 +343,15 @@ class TextAnnotationDataManager:
             d = self.text_data.get(run, {})
             old = payload.get(run)
             old = old if isinstance(old, dict) else {}
-            entry: Dict[str, Any] = dict(old)
+            # migrate away from the legacy manager schema: its keys must
+            # not survive next to web-schema ones, or the loader's
+            # legacy branch would revert this save on reload
+            entry: Dict[str, Any] = {k: v for k, v in old.items()
+                                     if k not in ("global_text",
+                                                  "segmentations")}
+            off = self._key_offset(run)
             items = [("global", d.get("global_text", ""))] + [
-                (str(int(sid) - 1), text)
+                (str(int(sid) - off), text)
                 for sid, text in d.get("segmentations", {}).items()]
             for key, text in items:
                 tags = merged_tags(text, old.get(key))
@@ -339,4 +375,4 @@ class TextAnnotationDataManager:
         with open(self.save_path) as f:
             payload = json.load(f)
         hashtag_manager.load_data_from_save(payload.pop("_hashtags", {}))
-        self.text_data = _normalize_text_payload(payload)
+        self.text_data = _normalize_text_payload(payload, self._key_offset)

@@ -84,7 +84,8 @@ class TextAnnotator(QtWidgets.QMainWindow):  # pragma: no cover - Qt
     def _commit_current(self):
         run = self.runs[self.run_idx]
         text = self.text_edit.toPlainText()
-        tags = sorted({w for w in text.split() if w.startswith("#")})
+        from saber_tpu.gui.text.hashtag_manager import HashtagManager
+        tags = sorted(HashtagManager.extract_hashtags(text))
         if text.strip():
             self.ann.setdefault(run, {})[str(self.seg_idx)] = {
                 "text": text, "hashtags": tags}

@@ -459,7 +459,11 @@ class AnnotationApp:
         run = payload["run"]
         idx = str(payload["index"])
         text = payload.get("text", "")
-        hashtags = sorted({w for w in text.split() if w.startswith("#")}
+        # same regex as the Qt manager — a whitespace split would store
+        # punctuation-trailing tags ('#mito.') the Qt side can never
+        # extract, making them undeletable "manual" tags there
+        from saber_tpu.gui.text.hashtag_manager import HashtagManager
+        hashtags = sorted(HashtagManager.extract_hashtags(text)
                           | set(payload.get("hashtags", [])))
         with self.lock:
             ann = self.text_annotations()

@@ -8,8 +8,25 @@ jax.distributed from SLURM env vars.
 """
 
 import os
+import shlex
 import stat
 from typing import Optional
+
+
+def passthrough_command(base: str, opts: dict) -> str:
+    """Render a CLI invocation from option name→value pairs: None/False
+    skipped, True rendered as a bare flag, everything else shell-quoted.
+    Shared by every slurm verb so quoting cannot diverge per verb."""
+    parts = [base]
+    for k, v in opts.items():
+        if v is None or v is False:
+            continue
+        flag = "--" + k.replace("_", "-")
+        if v is True:
+            parts.append(flag)
+        else:
+            parts.append(f"{flag} {shlex.quote(str(v))}")
+    return " ".join(parts)
 
 
 def create_shellsubmit(job_name: str, output_file: str, shell_name: str,

@@ -737,3 +737,61 @@ class TestCircleDrawAndStructuredSave:
         rec = info[f"segmentation_{seg_id}"]
         assert rec["description"] == "now described #vesicle"
         assert rec["hashtags"] == ["#vesicle"]
+
+    def test_volume_run_keys_and_legacy_migration(self, tmp_path):
+        """3D label-volume runs key the shared sidecar BY LABEL VALUE
+        (web _mask_entries by_value) — no ±1 shift — and saving a run
+        stored in the legacy manager schema migrates it so reload
+        returns the NEW text."""
+        import json
+        import os
+
+        from saber_tpu.gui.text.annotation_controller import \
+            TextAnnotationController
+        from saber_tpu.gui.text.data_manager import TextAnnotationDataManager
+        p = str(tmp_path / "vol.zarr")
+        root = zarrlite.Group.create(p)
+        g = root.require_group("run_v")
+        vol = np.zeros((4, 16, 16), np.float32)
+        g.create_dataset("0", data=vol)
+        lab = np.zeros((4, 16, 16), np.uint8)
+        lab[1, 2:6, 2:6] = 5
+        g.require_group("labels").create_dataset("0", data=lab)
+        side = str(tmp_path / "vol_text_annotations.json")
+        with open(side, "w") as f:
+            json.dump({"run_v": {"5": {"text": "label five #mem",
+                                       "hashtags": ["#mem"]}}}, f)
+        dm = TextAnnotationDataManager(p)
+        assert dm.is_volume_run("run_v")
+        # web key '5' IS seg id 5 on a volume run
+        assert dm.get_segmentation_text("run_v", 5) == "label five #mem"
+        ctrl = TextAnnotationController(dm)
+        ctrl.select_segmentation(5)
+        ctrl.on_text_changed(seg_text="edited #mem")
+        ctrl.save_current_run_data()
+        saved = json.load(open(side))
+        assert saved["run_v"]["5"]["text"] == "edited #mem"
+
+        # legacy manager-schema sidecar: edit + save must migrate, not
+        # leave stale legacy keys that win on reload
+        with open(side, "w") as f:
+            json.dump({"run_v": {"global_text": "old global",
+                                 "segmentations": {"5": "old seg"}}}, f)
+        ctrl2 = TextAnnotationController(TextAnnotationDataManager(p))
+        ctrl2.on_text_changed(global_text="NEW global")
+        ctrl2.save_current_run_data()
+        saved = json.load(open(side))
+        assert "global_text" not in saved["run_v"]
+        ctrl3 = TextAnnotationController(TextAnnotationDataManager(p))
+        st = ctrl3.on_image_selected("run_v")
+        assert st["global_text"] == "NEW global"
+        assert ctrl3.dm.get_segmentation_text("run_v", 5) == "old seg"
+
+    def test_web_hashtag_extraction_matches_qt(self, zarr_runs):
+        """annotate_text uses the same regex as HashtagManager, so
+        punctuation-trailing tags can't become undeletable manual tags."""
+        from saber_tpu.gui.web.server import AnnotationApp
+        app = AnnotationApp(zarr_runs)
+        out = app.annotate_text({"run": "run_a", "index": 0,
+                                 "text": "see the #mito. yes"})
+        assert out["hashtags"] == ["#mito"]
