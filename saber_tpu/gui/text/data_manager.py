@@ -154,6 +154,12 @@ class TextAnnotationDataManager:
     def add_user_mask(self, run_id: str, mask: np.ndarray) -> int:
         """Stash a drawn mask for the run; returns its 1-based seg id in
         the combined stack (zarr candidates + saved + session masks)."""
+        if self.is_volume_run(run_id):
+            # a 2D drawn mask has no z-location in a label volume, and
+            # appending it would corrupt the (Z,H,W) stack shape
+            raise ValueError(
+                f"run '{run_id}' holds a 3D label volume; the 2D circle "
+                "draw tool is unavailable for volume runs")
         lst = self.user_masks.setdefault(run_id, [])
         lst.append(np.asarray(mask) > 0)
         _, masks = self.read_with_session_fallback(run_id)

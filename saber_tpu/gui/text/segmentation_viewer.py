@@ -107,27 +107,30 @@ class TextSegmentationViewer(QtWidgets.QMainWindow):  # pragma: no cover
 
     def _apply(self, state):
         run_id = state["run_id"]
-        # session fallback keeps unsaved drawn masks visible across run
-        # switches; accepted ids come back from the saved sidecar
-        image, masks, _ = self.ctrl.dm.read_augmented_data(run_id)
-        image = np.asarray(image)
-        masks = np.asarray(masks)
-        if masks.ndim == 2:
-            masks = masks[None]
-        if image.ndim == 3 and masks.shape == image.shape:
-            # z-aligned label volume (3D runs): mid-slice with the image
-            vol, self.max_label = prepare_label_volume(masks)
-            self.labels = np.asarray(vol[vol.shape[0] // 2])
+        if self.ctrl.dm.is_volume_run(run_id):
+            # z-aligned label VOLUME (3D run): seg ids are label values;
+            # mid-slice with the image. The 2D circle draw tool has no
+            # z-location here, so drawing is disabled for these runs.
+            image, vol = self.ctrl.dm.read_data(run_id)
+            labels, self.max_label = prepare_label_volume(vol)
+            self.labels = np.asarray(labels[labels.shape[0] // 2])
+            self.draw = None
         else:
-            # per-candidate stack: force the binary-stack branch (>0) so
-            # id-valued uint8/uint16 planes from masks_to_array map to
-            # their 1-based STACK position, not their stored values
+            # per-candidate stack (+ session/saved drawn masks): force
+            # the binary-stack branch (>0) so id-valued uint8/uint16
+            # planes from masks_to_array map to their 1-based STACK
+            # position, not their stored values
+            image, masks, _ = self.ctrl.dm.read_augmented_data(run_id)
+            masks = np.asarray(masks)
+            if masks.ndim == 2:
+                masks = masks[None]
             lab, _ = prepare_label_volume(masks > 0)
             self.labels = np.asarray(lab)
             self.max_label = masks.shape[0]
+            self.draw = CircleDrawTool(self.labels.shape)
+        image = np.asarray(image)
         if image.ndim == 3:
             image = image[image.shape[0] // 2]
-        self.draw = CircleDrawTool(self.labels.shape)
         self.highlight = HighlightState()
         self.img_item.setImage(np.asarray(image), autoLevels=True)
         self._refresh_overlay()
@@ -184,7 +187,7 @@ class TextSegmentationViewer(QtWidgets.QMainWindow):  # pragma: no cover
     def _dragged(self, ev):
         """Right-drag sizes the circle draw tool (reference
         LeftDrawViewBox press/drag/release -> CircleDrawTool)."""
-        if ev.button() != QtCore.Qt.RightButton:
+        if self.draw is None or ev.button() != QtCore.Qt.RightButton:
             ev.ignore()
             return
         ev.accept()

@@ -795,3 +795,16 @@ class TestCircleDrawAndStructuredSave:
         out = app.annotate_text({"run": "run_a", "index": 0,
                                  "text": "see the #mito. yes"})
         assert out["hashtags"] == ["#mito"]
+
+    def test_volume_run_rejects_2d_draw(self, tmp_path):
+        from saber_tpu.gui.text.data_manager import (
+            TextAnnotationDataManager, circle_mask)
+        p = str(tmp_path / "vol.zarr")
+        root = zarrlite.Group.create(p)
+        g = root.require_group("run_v")
+        g.create_dataset("0", data=np.zeros((4, 16, 16), np.float32))
+        g.require_group("labels").create_dataset(
+            "0", data=np.zeros((4, 16, 16), np.uint8))
+        dm = TextAnnotationDataManager(p)
+        with pytest.raises(ValueError, match="volume"):
+            dm.add_user_mask("run_v", circle_mask((16, 16), 8, 8, 3))
