@@ -32,6 +32,10 @@ class TextAnnotator(QtWidgets.QMainWindow):  # pragma: no cover - Qt
         self.ann = {}
         if os.path.exists(self.text_path):
             self.ann = json.load(open(self.text_path))
+        # (run, idx) pairs edited this session — only these merge into
+        # the file on save, so entries the web GUI or the rich manager
+        # wrote meanwhile are never clobbered by our init-time snapshot
+        self.dirty = set()
         self.run_idx = 0
         self.seg_idx = 0
         self._build_ui()
@@ -87,8 +91,12 @@ class TextAnnotator(QtWidgets.QMainWindow):  # pragma: no cover - Qt
         from saber_tpu.gui.text.hashtag_manager import HashtagManager
         tags = sorted(HashtagManager.extract_hashtags(text))
         if text.strip():
-            self.ann.setdefault(run, {})[str(self.seg_idx)] = {
-                "text": text, "hashtags": tags}
+            idx = str(self.seg_idx)
+            prev = self.ann.get(run, {}).get(idx)
+            entry = {"text": text, "hashtags": tags}
+            if prev != entry:
+                self.ann.setdefault(run, {})[idx] = entry
+                self.dirty.add((run, idx))
 
     def _step(self, d):
         self._commit_current()
@@ -104,8 +112,15 @@ class TextAnnotator(QtWidgets.QMainWindow):  # pragma: no cover - Qt
 
     def _save(self):
         self._commit_current()
+        # merge this session's edits into the CURRENT file contents
+        payload = {}
+        if os.path.exists(self.text_path):
+            payload = json.load(open(self.text_path))
+        for run, idx in sorted(self.dirty):
+            payload.setdefault(run, {})[idx] = self.ann[run][idx]
+        self.dirty.clear()
         with open(self.text_path, "w") as f:
-            json.dump(self.ann, f, indent=1)
+            json.dump(payload, f, indent=1)
 
 
 def launch_text_gui(zarr_path: str):  # pragma: no cover - Qt event loop
